@@ -38,7 +38,7 @@ class RQConfig:
     pq_type: str = "rq"              # 'rq' | 'pq' | 'opq'
     subvector_num: int = 4           # M: number of levels (rq) / subvectors (pq)
     subvector_bits: int = 5          # K = 2**bits centroids per level
-    dist_mode: str = "ip"            # 'ip' | 'l2' (iptol2 handled as l2+augment)
+    dist_mode: str = "l2"            # 'ip' | 'l2' (main.py:556 default 'l2')
     emb_size: int = 768
     rq_topk_score: str = "prod"      # beam score accumulation (pq.py:664-667)
 

@@ -1,0 +1,300 @@
+"""Residual quantization (RQ) — and PQ — on TPU.
+
+TPU-native rebuild of ``MEVI/pq.py``'s ProductQuantization:
+
+* training: per-level k-means over residuals (``pq.py:582-594``) using the
+  on-device Lloyd kernel in :mod:`.kmeans` instead of rank0 CPU sklearn;
+* assignment: per-level nearest centroid + residual subtraction
+  (``pq.py:337-369`` / ``pq.py:281-305``);
+* reconstruction: sum of selected centroids over levels (``pq.py:768-784``);
+* codebook beam search over the code space for per-doc top-k codes
+  (``pq.py:613-713``), vectorized as a fixed-depth scan;
+* EMA codebook update with dead-code restart (``pq.py:371-433``);
+* Hungarian codebook alignment across refits (``pq.py:600-611``).
+
+Codebooks are a dense (M, K, d) array; codes are int32 (n, M).
+dist_mode 'l2' is the reference default (``main.py:556``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .kmeans import _sim, kmeans_assign, kmeans_fit, kmeans_stats
+
+
+class RQCodebook(NamedTuple):
+    """RQ/PQ codebooks plus geometry."""
+    codebooks: jnp.ndarray   # (M, K, d) — d = emb for rq, emb//M for pq
+    pq_type: str = "rq"
+    dist_mode: str = "l2"
+
+    @property
+    def levels(self) -> int:
+        return self.codebooks.shape[0]
+
+    @property
+    def kary(self) -> int:
+        return self.codebooks.shape[1]
+
+
+def full_sim(x: jnp.ndarray, cb: jnp.ndarray, dist_mode: str) -> jnp.ndarray:
+    """(n, d) x (K, d) -> (n, K); for 'l2' returns the *complete*
+    -||x-c||^2 (matching ``pq.py:124-131``), unlike kmeans._sim which
+    drops the per-row constant."""
+    s = _sim(x, cb, dist_mode)
+    if dist_mode == "l2":
+        s = s - jnp.sum(x.astype(jnp.float32) ** 2, -1, keepdims=True)
+    return s
+
+
+# --------------------------------------------------------------------------
+# assignment / logits
+# --------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("pq_type", "dist_mode"))
+def assign(emb: jnp.ndarray, codebooks: jnp.ndarray,
+           pq_type: str = "rq", dist_mode: str = "l2") -> jnp.ndarray:
+    """Codes (n, M) int32 for a batch of embeddings."""
+    return assign_with_logits(emb, codebooks, pq_type, dist_mode)[0]
+
+
+@partial(jax.jit, static_argnames=("pq_type", "dist_mode"))
+def assign_with_logits(emb: jnp.ndarray, codebooks: jnp.ndarray,
+                       pq_type: str = "rq", dist_mode: str = "l2",
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Codes (n, M) and per-level similarity logits (n, M, K).
+
+    Mirrors ``forward_rq``/``forward_pq`` (``pq.py:319-369``): logits are
+    the raw similarity scores (ip or -l2) fed to the PQ-distillation loss.
+    """
+    M, K, d = codebooks.shape
+    n = emb.shape[0]
+    if pq_type == "rq":
+        def body(resid, cb):
+            logit = full_sim(resid, cb, dist_mode)              # (n, K)
+            idx = jnp.argmax(logit, axis=-1).astype(jnp.int32)
+            resid = resid - cb[idx].astype(resid.dtype)
+            return resid, (idx, logit)
+        _, (codes, logits) = jax.lax.scan(body, emb, codebooks)
+        return codes.T, jnp.moveaxis(logits, 0, 1)
+    else:  # pq: split the embedding into M subvectors
+        sub = emb.reshape(n, M, d)
+        def level(x, cb):
+            logit = full_sim(x, cb, dist_mode)
+            return jnp.argmax(logit, -1).astype(jnp.int32), logit
+        codes, logits = jax.vmap(level, in_axes=(1, 0), out_axes=(1, 1))(
+            sub, codebooks)
+        return codes, logits
+
+
+@partial(jax.jit, static_argnames=("pq_type",))
+def reconstruct(codes: jnp.ndarray, codebooks: jnp.ndarray,
+                pq_type: str = "rq") -> jnp.ndarray:
+    """(n, M) codes -> (n, emb) vectors (``pq.py:768-784``)."""
+    M, K, d = codebooks.shape
+    picked = jax.vmap(lambda cb, c: cb[c], in_axes=(0, 1), out_axes=1)(
+        codebooks, codes)                                       # (n, M, d)
+    if pq_type == "rq":
+        return jnp.sum(picked, axis=1)
+    return picked.reshape(codes.shape[0], M * d)
+
+
+@partial(jax.jit, static_argnames=("pq_type",))
+def reconstruction_mse(emb: jnp.ndarray, codes: jnp.ndarray,
+                       codebooks: jnp.ndarray, pq_type: str = "rq"
+                       ) -> jnp.ndarray:
+    """Mean squared residual after reconstruction (index-quality metric;
+    the training-loss variant per ``pq.py:743-766`` stacks per-level
+    residuals — see train/losses.py)."""
+    rec = reconstruct(codes, codebooks, pq_type)
+    return jnp.mean((emb.astype(jnp.float32) - rec.astype(jnp.float32))**2)
+
+
+# --------------------------------------------------------------------------
+# training
+# --------------------------------------------------------------------------
+
+def rq_train(
+    emb: jnp.ndarray,
+    levels: int,
+    kary: int,
+    iters: int = 25,
+    key: Optional[jax.Array] = None,
+    dist_mode: str = "l2",
+    pq_type: str = "rq",
+    chunk: int = 65536,
+    init_codebooks: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Train codebooks with per-level k-means over residuals.
+
+    Mirrors ``unsupervised_update_codebook_manually`` (``pq.py:550-598``):
+    level i fits k-means on the residual after subtracting levels < i
+    (rq) or on the i-th subvector (pq).  Returns (codebooks (M,K,d),
+    codes (n, M)).
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    n, emb_size = emb.shape
+    cbs = []
+    codes = []
+    if pq_type == "rq":
+        resid = emb
+        for i in range(levels):
+            key, sub = jax.random.split(key)
+            init_c = None if init_codebooks is None else init_codebooks[i]
+            cb, a = kmeans_fit(resid, kary, iters=iters, key=sub,
+                               dist_mode=dist_mode, chunk=chunk,
+                               init_centroids=init_c)
+            cbs.append(cb)
+            codes.append(a)
+            if i != levels - 1:
+                resid = resid - cb[a].astype(resid.dtype)
+    else:
+        d = emb_size // levels
+        for i in range(levels):
+            key, sub = jax.random.split(key)
+            init_c = None if init_codebooks is None else init_codebooks[i]
+            cb, a = kmeans_fit(emb[:, i * d:(i + 1) * d], kary, iters=iters,
+                               key=sub, dist_mode=dist_mode, chunk=chunk,
+                               init_centroids=init_c)
+            cbs.append(cb)
+            codes.append(a)
+    return jnp.stack(cbs), jnp.stack(codes, axis=1).astype(jnp.int32)
+
+
+def align_codebooks(old: np.ndarray, new: np.ndarray,
+                    dist_mode: str = "l2") -> np.ndarray:
+    """Permute ``new`` so each centroid matches its closest predecessor
+    (Hungarian assignment, ``pq.py:600-611``).  Host-side: K <= 256."""
+    from scipy.optimize import linear_sum_assignment
+    out = np.empty_like(new)
+    for lvl in range(new.shape[0]):
+        o = old[lvl].astype(np.float64)
+        c = new[lvl].astype(np.float64)
+        if dist_mode == "ip":
+            scores = c @ o.T                       # (cur, ori)
+        else:
+            scores = -((c[:, None, :] - o[None, :, :]) ** 2).sum(-1)
+        cid, oid = linear_sum_assignment(scores, maximize=True)
+        out[lvl][oid] = c[cid]
+    return out
+
+
+# --------------------------------------------------------------------------
+# EMA codebook update (pq.py:371-433)
+# --------------------------------------------------------------------------
+
+class EMAState(NamedTuple):
+    cluster_size: jnp.ndarray   # (M, K)
+    embed_sum: jnp.ndarray      # (M, K, d)
+
+
+def ema_init(codebooks: jnp.ndarray) -> EMAState:
+    M, K, _ = codebooks.shape
+    return EMAState(jnp.zeros((M, K), jnp.float32),
+                    codebooks.astype(jnp.float32))
+
+
+@partial(jax.jit, static_argnames=("decay", "eps", "restart"))
+def ema_update(state: EMAState, codebooks: jnp.ndarray,
+               vectors: jnp.ndarray, codes: jnp.ndarray,
+               key: jax.Array, decay: float = 0.99, eps: float = 1e-5,
+               restart: bool = True,
+               ) -> Tuple[EMAState, jnp.ndarray]:
+    """One EMA step from a batch of (vectors, codes).
+
+    Matches ``pq.py:371-433`` for the rq case: every level accumulates the
+    *full* vector (not the residual) — the reference expands vectors
+    across levels at ``pq.py:375-377``.  Cross-device: callers psum the
+    per-batch (counts, sums) before calling, or run under pjit where the
+    one-hot matmul reduces over the data axis automatically.
+    """
+    M, K, d = codebooks.shape
+    onehot = jax.nn.one_hot(codes, K, dtype=jnp.float32)        # (n, M, K)
+    counts = jnp.sum(onehot, axis=0)                            # (M, K)
+    sums = jnp.einsum("nmk,nd->mkd", onehot,
+                      vectors.astype(jnp.float32))
+    new_size = state.cluster_size * decay + counts * (1 - decay)
+    new_sum = state.embed_sum * decay + sums * (1 - decay)
+
+    if restart:
+        n = vectors.shape[0]
+        rand_rows = jax.random.randint(key, (M, K), 0, n)
+        rand_vecs = vectors.astype(jnp.float32)[rand_rows]      # (M, K, d)
+        used = (new_size >= 1.0)
+        new_sum = jnp.where(used[..., None], new_sum, rand_vecs)
+        new_size = jnp.where(used, new_size, 1.0)
+
+    tot = jnp.sum(new_size, axis=1, keepdims=True)
+    norm = tot * (new_size + eps) / (tot + K * eps)
+    new_codebooks = (new_sum / norm[..., None]).astype(codebooks.dtype)
+    return EMAState(new_size, new_sum), new_codebooks
+
+
+# --------------------------------------------------------------------------
+# codebook beam search (pq.py:613-713)
+# --------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("num_beams", "pq_type", "dist_mode",
+                                   "score_mode"))
+def beam_search(emb: jnp.ndarray, codebooks: jnp.ndarray,
+                num_beams: int, pq_type: str = "rq",
+                dist_mode: str = "l2", score_mode: str = "prod",
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-``num_beams`` code sequences per embedding.
+
+    Per level: softmax over centroid similarities, multiply into the
+    running beam score ('prod', ``pq.py:663-667``), keep top beams,
+    subtract the chosen centroid from each beam's residual.  Returns
+    (codes (n, B, M) int32, scores (n, B) float32).
+    """
+    M, K, d = codebooks.shape
+    n = emb.shape[0]
+    B = num_beams
+
+    # level 0: beams = top-B of K
+    sim0 = full_sim(emb if pq_type == "rq" else emb[:, :d],
+                    codebooks[0], dist_mode)
+    p0 = jax.nn.softmax(sim0, axis=-1)
+    scores, idx0 = jax.lax.top_k(p0, min(B, K))                 # (n, B)
+    if B > K:  # degenerate; pad (reference expands instead)
+        pad = B - K
+        scores = jnp.pad(scores, ((0, 0), (0, pad)))
+        idx0 = jnp.pad(idx0, ((0, 0), (0, pad)))
+    codes = idx0[:, :, None].astype(jnp.int32)                  # (n, B, 1)
+    if pq_type == "rq":
+        resid = emb[:, None, :] - codebooks[0][idx0].astype(emb.dtype)
+
+    for lvl in range(1, M):
+        cb = codebooks[lvl]
+        if pq_type == "rq":
+            sim = full_sim(resid.reshape(n * B, -1), cb,
+                           dist_mode).reshape(n, B, K)
+        else:
+            sub = emb[:, lvl * d:(lvl + 1) * d]
+            sim = jnp.broadcast_to(
+                full_sim(sub, cb, dist_mode)[:, None, :], (n, B, K))
+        p = jax.nn.softmax(sim, axis=-1)
+        if score_mode == "prod":
+            cand = scores[:, :, None] * p                       # (n, B, K)
+        else:
+            cand = p
+        flat = cand.reshape(n, B * K)
+        scores, pos = jax.lax.top_k(flat, B)                    # (n, B)
+        beam_idx = pos // K
+        code_idx = (pos % K).astype(jnp.int32)
+        codes = jnp.take_along_axis(
+            codes, beam_idx[:, :, None], axis=1)
+        codes = jnp.concatenate([codes, code_idx[:, :, None]], axis=-1)
+        if pq_type == "rq" and lvl != M - 1:
+            resid = jnp.take_along_axis(
+                resid, beam_idx[:, :, None], axis=1)
+            resid = resid - cb[code_idx].astype(resid.dtype)
+
+    return codes, scores
