@@ -1,0 +1,117 @@
+"""Fused tree-constrained beam search over the RQ code space.
+
+Replaces the reference's python beam loop (``MEVI/transformers/
+generation_utils.py:709-1011`` with the per-beam tree walk at 801-819)
+with a fully-jitted fixed-depth decode:
+
+* the RQ decode tree is a full shared-sons k-ary tree with an EOS leaf
+  layer (``main_models.py:1697-1706``), so the tree constraint IS the
+  position-validity mask — the model's compact logits (level slice + EOS)
+  already carry it; no tree structure exists at runtime,
+* scores accumulate log-softmax over the valid set (slice ∪ EOS), exactly
+  the reference normalization (model mask at -1e9 + full-vocab
+  log_softmax, ``generation_utils.py:783``),
+* every hypothesis has the same length (M code tokens + EOS), so the
+  final ``score / len**length_penalty`` (``BeamHypotheses.add``) is a
+  monotone transform; ordering matches the reference,
+* encoder runs once; decoder cross-attention K/V are projected once per
+  query and broadcast across beams (the reference re-projects every step).
+
+Static shapes throughout: batch x beams panels, ``lax.top_k`` beam
+updates — one XLA program.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.nci import NCIDims, NCIT5, tokens_to_codes
+
+
+def _expand_beams(x, num_beams):
+    """(b, ...) -> (b * nbeam, ...) by repeat-interleave."""
+    return jnp.repeat(x, num_beams, axis=0)
+
+
+@partial(jax.jit, static_argnames=("model", "num_beams", "length_penalty"))
+def nci_beam_search(
+    model: NCIT5,
+    params,
+    input_ids: jnp.ndarray,
+    attention_mask: jnp.ndarray,
+    num_beams: int,
+    length_penalty: float = 0.8,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Beam-decode RQ codes for a batch of queries.
+
+    Returns:
+      codes:  (b, nbeam, M) int32 RQ codes, best first.
+      scores: (b, nbeam) float32 length-normalized sequence log-probs
+        (``sum_logprobs / (M+1)**length_penalty``, BeamHypotheses.add).
+      enc_hidden: (b, Lq, d) encoder last hidden state.
+      dec_hidden: (b * nbeam, L, d) decoder last hidden state of the
+        winning panels (for the 'dec' query-tower variants).
+    """
+    dims: NCIDims = model.dims
+    K = dims.kary
+    M = dims.code_len
+    L = dims.max_output_length
+    B = input_ids.shape[0]
+    nb = num_beams
+
+    def apply(method, *args, **kw):
+        return model.apply({"params": params}, *args, method=method, **kw)
+
+    enc_hidden = apply(NCIT5.encode, input_ids, attention_mask)
+    memory, mem_mask, _ = apply(NCIT5.build_memory, enc_hidden,
+                                attention_mask)
+    cross_kvs = apply(NCIT5.project_cross_kvs, memory)
+
+    # broadcast per-query state across beams
+    kvs_b = jax.tree.map(lambda x: _expand_beams(x, nb), cross_kvs)
+    mem_mask_b = (None if mem_mask is None
+                  else _expand_beams(mem_mask, nb))
+
+    tokens = jnp.zeros((B * nb, L), jnp.int32)     # panel, col 0 = start
+    beam_scores = jnp.full((B, nb), -1e9, jnp.float32).at[:, 0].set(0.0)
+
+    def step_logits(tokens, t):
+        compact, dec_hidden = apply(
+            NCIT5.compact_logits, tokens, None, mem_mask_b, kvs_b)
+        return (jax.nn.log_softmax(
+            compact[:, t, :].astype(jnp.float32), axis=-1), dec_hidden)
+
+    dec_hidden = None
+    for t in range(M):
+        logp, dec_hidden = step_logits(tokens, t)       # (B*nb, K+1)
+        code_lp = logp[:, :K].reshape(B, nb, K)
+        cand = beam_scores[:, :, None] + code_lp        # (B, nb, K)
+        flat = cand.reshape(B, nb * K)
+        beam_scores, pos = jax.lax.top_k(flat, nb)      # (B, nb)
+        beam_idx = pos // K                             # source beam
+        code = (pos % K).astype(jnp.int32)
+        # reorder panels and append the chosen token
+        gather_rows = (jnp.arange(B)[:, None] * nb + beam_idx).reshape(-1)
+        tokens = tokens[gather_rows]
+        tok = (code + t * K + 2).reshape(-1)
+        tokens = tokens.at[:, t + 1].set(tok)
+
+    # final step: every surviving beam emits EOS (the tree's leaf layer)
+    logp, dec_hidden = step_logits(tokens, M)
+    eos_lp = logp[:, K].reshape(B, nb)
+    total = beam_scores + eos_lp
+    norm = total / jnp.float32(M + 1) ** jnp.float32(length_penalty)
+    order = jnp.argsort(-norm, axis=-1)
+    norm = jnp.take_along_axis(norm, order, axis=-1)
+    gather_rows = (jnp.arange(B)[:, None] * nb + order).reshape(-1)
+    tokens = tokens[gather_rows]
+    dec_hidden = dec_hidden[gather_rows]
+
+    code_tokens = tokens[:, 1:M + 1].reshape(B, nb, M)
+    codes = tokens_to_codes(code_tokens.reshape(-1, M),
+                            K).reshape(B, nb, M)
+    return codes, norm, enc_hidden, dec_hidden

@@ -105,6 +105,68 @@ def convert_t5_encoder_model(sd: SD, num_layers: int,
 
 
 # --------------------------------------------------------------------------
+# PAWA adaptor (torch nn.TransformerDecoder layout)
+# --------------------------------------------------------------------------
+
+def _mha(sd: SD, prefix: str) -> Dict:
+    return {
+        "in_proj_kernel": _t(sd[f"{prefix}.in_proj_weight"]),
+        "in_proj_bias": np.asarray(sd[f"{prefix}.in_proj_bias"]),
+        "out_proj": {"kernel": _t(sd[f"{prefix}.out_proj.weight"]),
+                     "bias": np.asarray(sd[f"{prefix}.out_proj.bias"])},
+    }
+
+
+def convert_pawa(sd: SD, num_layers: int,
+                 prefix: str = "") -> Dict:
+    """torch ``nn.TransformerDecoder`` (+ memory embedding) ->
+    :class:`mevi_tpu.models.pawa.PawaAdaptor` params.
+
+    ``prefix`` points at the decoder ('adaptor.' in reference NCI
+    checkpoints); the memory embedding key is ``adaptor_embeddings``.
+    """
+    out = {}
+    for i in range(num_layers):
+        p = f"{prefix}layers.{i}"
+        out[f"layer_{i}"] = {
+            "self_attn": _mha(sd, f"{p}.self_attn"),
+            "cross_attn": _mha(sd, f"{p}.multihead_attn"),
+            "norm1": _ln(sd, f"{p}.norm1"),
+            "norm2": _ln(sd, f"{p}.norm2"),
+            "norm3": _ln(sd, f"{p}.norm3"),
+            "linear1": _dense(sd, f"{p}.linear1"),
+            "linear2": _dense(sd, f"{p}.linear2"),
+        }
+    return out
+
+
+def convert_nci_checkpoint(sd: SD, num_layers: int,
+                           num_decoder_layers: int,
+                           adaptor_layers: int = 4,
+                           reserve_decoder: bool = False,
+                           gated: bool = False) -> Dict:
+    """Reference NCI lightning checkpoint ('model.' prefix stripped) ->
+    :class:`mevi_tpu.models.nci.NCIT5` params."""
+    out = {
+        "shared": {"embedding": np.asarray(sd["shared.weight"])},
+        "encoder": convert_t5_stack(sd, "encoder", num_layers, gated),
+        "decoder": convert_t5_stack(sd, "decoder", num_decoder_layers,
+                                    gated),
+        "decode_embeddings": {
+            "embedding": np.asarray(sd["decode_embeddings.weight"])},
+    }
+    if "adaptor_linear.weight" in sd:
+        pawa = convert_pawa(sd, adaptor_layers, prefix="adaptor.")
+        pawa["memory_embedding"] = np.asarray(
+            sd["adaptor_embeddings"]).reshape(1, 1, -1)
+        out["pawa"] = pawa
+        out["adaptor_kernel"] = _t(sd["adaptor_linear.weight"])
+    if reserve_decoder:
+        out["ori_decoder"] = convert_t5_stack(sd, "ori_decoder", 12, gated)
+    return out
+
+
+# --------------------------------------------------------------------------
 # BERT / ERNIE
 # --------------------------------------------------------------------------
 

@@ -1,0 +1,264 @@
+"""NCI seq2seq model: T5 with a position-sliced code vocabulary and the
+PAWA adaptive LM head.
+
+Rebuild of the reference's modified ``T5ForConditionalGeneration``
+(``MEVI/transformers/modeling_t5.py:1145-1968``) with the semantics that
+matter:
+
+* separate decode-side embedding over the code vocab
+  ``V = kary * max_output_length + 2`` (ids: 0 pad/start, 1 eos, code c of
+  level i at ``2 + i*kary + c`` — ``main_models.py:100-105``),
+* LM head tied to the decode embedding plus the PAWA per-position weight
+  delta (``modeling_t5.py:1647-1682``),
+* position-validity logit masking (``modeling_t5.py:1290-1312``): at
+  position t only level-t codes and EOS may score.
+
+TPU-native representation: logits are **compact** — shape
+``(batch, L, kary + 1)`` with columns ``[level-t codes..., EOS]`` — the
+exact valid set per position, so the full-vocab mask, the ``nci_logits``
+slice for PQ distillation (``modeling_t5.py:1692-1701``) and the beam
+normalization all come out of one tensor and the (d_model x V)
+per-position PAWA weight is never materialized.
+``compact_to_full_logits`` recovers the reference layout for parity
+tests.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, List, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .pawa import PawaAdaptor, PawaDims
+from .t5 import RMSNorm, T5Dims, T5Stack, causal_mask, extend_mask
+
+NEG = -1e9
+
+
+@dataclasses.dataclass(frozen=True)
+class NCIDims:
+    t5: T5Dims = dataclasses.field(default_factory=T5Dims)
+    kary: int = 32
+    max_output_length: int = 6
+    adaptor_layer_num: int = 4
+    adaptor_num_heads: int = 8
+    adaptor_d_ff: int = 2048
+    use_pawa: bool = True
+    reserve_decoder: bool = False     # frozen 12-layer tower decoder
+    tie_decode_embedding: bool = True
+
+    @property
+    def decode_vocab_size(self) -> int:
+        return self.kary * self.max_output_length + 2
+
+    @property
+    def code_len(self) -> int:
+        return self.max_output_length - 2
+
+    @property
+    def compact_width(self) -> int:
+        return self.kary + 1
+
+    def pawa_dims(self) -> PawaDims:
+        return PawaDims(
+            d_model=self.t5.d_model, num_heads=self.adaptor_num_heads,
+            d_ff=self.adaptor_d_ff, num_layers=self.adaptor_layer_num,
+            dropout_rate=self.t5.dropout_rate, dtype=self.t5.dtype)
+
+
+def codes_to_tokens(codes: jnp.ndarray, kary: int) -> jnp.ndarray:
+    """(…, M) codes -> decode-vocab token ids (position offset + 2)."""
+    offs = jnp.arange(codes.shape[-1], dtype=codes.dtype) * kary
+    return codes + offs + 2
+
+
+def tokens_to_codes(tokens: jnp.ndarray, kary: int) -> jnp.ndarray:
+    """Inverse of :func:`codes_to_tokens` (``decode_token``,
+    ``main_models.py:117-136``)."""
+    offs = jnp.arange(tokens.shape[-1], dtype=tokens.dtype) * kary
+    out = tokens - 2 - offs
+    return jnp.maximum(out, 0)
+
+
+def make_labels(codes: jnp.ndarray, kary: int,
+                max_output_length: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Codes (b, M) -> (labels (b, L), decoder_input_ids (b, L)).
+
+    labels = [code tokens..., eos, pad]; inputs = shift-right with start 0
+    (``vq_label_suffix`` + ``codebook_decode_embedding_process``,
+    ``main_models.py:111-114, 1797-1811``).
+    """
+    b, m = codes.shape
+    toks = codes_to_tokens(codes.astype(jnp.int32), kary)
+    eos = jnp.ones((b, 1), jnp.int32)
+    pad = jnp.zeros((b, 1), jnp.int32)
+    labels = jnp.concatenate([toks, eos, pad], axis=1)
+    inputs = jnp.concatenate([pad, toks, eos], axis=1)
+    assert labels.shape[1] == max_output_length
+    return labels, inputs
+
+
+class NCIT5(nn.Module):
+    dims: NCIDims
+
+    def setup(self):
+        d = self.dims
+        t5 = d.t5
+        self.shared = nn.Embed(t5.vocab_size, t5.d_model, name="shared",
+                               dtype=t5.dtype)
+        self.encoder = T5Stack(t5, t5.num_layers, is_decoder=False,
+                               name="encoder")
+        self.decode_embeddings = nn.Embed(
+            d.decode_vocab_size, t5.d_model, name="decode_embeddings",
+            dtype=t5.dtype)
+        self.decoder = T5Stack(t5, t5.num_decoder_layers, is_decoder=True,
+                               name="decoder")
+        if d.use_pawa:
+            self.pawa = PawaAdaptor(d.pawa_dims(), name="pawa")
+            # kernel of the reference's adaptor_linear: (d_in, d*V);
+            # kept as a raw param because it is only ever used via
+            # column-sliced einsums, never a full Dense matmul.
+            self.adaptor_kernel = self.param(
+                "adaptor_kernel",
+                nn.initializers.lecun_normal(),
+                (t5.d_model, t5.d_model * d.decode_vocab_size))
+        if not d.tie_decode_embedding:
+            self.untied_head = self.param(
+                "untied_head", nn.initializers.normal(1.0),
+                (d.decode_vocab_size, t5.d_model))
+        if d.reserve_decoder:
+            self.ori_decoder = T5Stack(t5, 12, is_decoder=True,
+                                       name="ori_decoder")
+
+    # -- encoder ---------------------------------------------------------
+
+    def encode(self, input_ids, attention_mask=None, deterministic=True):
+        mask = extend_mask(attention_mask)
+        return self.encoder(self.shared(input_ids), self_mask=mask,
+                            deterministic=deterministic)
+
+    # -- memory assembly (reserve_decoder 'series' integration,
+    #    modeling_t5.py:1518-1536) --------------------------------------
+
+    def build_memory(self, enc_hidden, attention_mask=None,
+                     deterministic=True):
+        """Returns (memory, memory_mask, ori_dec_hidden)."""
+        d = self.dims
+        ori_hidden = None
+        memory, mem_mask = enc_hidden, attention_mask
+        if d.reserve_decoder:
+            b = enc_hidden.shape[0]
+            zero = jnp.zeros((b, 1), jnp.int32)
+            ori_hidden = self.ori_decoder(
+                self.shared(zero), self_mask=None, enc_hidden=enc_hidden,
+                enc_mask=extend_mask(attention_mask),
+                deterministic=deterministic)
+            memory = jnp.concatenate([enc_hidden, ori_hidden], axis=1)
+            if attention_mask is not None:
+                mem_mask = jnp.concatenate(
+                    [attention_mask, jnp.ones((b, 1),
+                                              attention_mask.dtype)], 1)
+        return memory, mem_mask, ori_hidden
+
+    # -- decode-side -----------------------------------------------------
+
+    def _head_matrix(self):
+        """Tied LM head (V, d) = decode embedding table."""
+        if self.dims.tie_decode_embedding:
+            return self.decode_embeddings.embedding
+        return self.untied_head
+
+    def _adaptor_tensor(self):
+        """Adaptor kernel reshaped (d_in, d_model, V)."""
+        d = self.dims
+        return self.adaptor_kernel.reshape(
+            d.t5.d_model, d.t5.d_model, d.decode_vocab_size)
+
+    def project_cross_kvs(self, memory):
+        """Per-layer decoder cross-attention (k, v), computed once per
+        query and reused across decode steps/beams (the reference
+        re-projects every step — ``use_cache=False``)."""
+        return self.decoder.project_cross_kvs(memory)
+
+    def compact_logits(self, decoder_input_ids, memory, memory_mask=None,
+                       cross_kvs=None, deterministic=True,
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Compact logits (b, L, kary+1) + decoder hidden (b, L, d).
+
+        Column layout per position t: [codes of level t (kary), EOS].
+        ``cross_kvs``: optional precomputed per-layer (k, v) heads.
+        """
+        d = self.dims
+        K = d.kary
+        L = decoder_input_ids.shape[1]
+        dec_embeds = self.decode_embeddings(decoder_input_ids)
+        dec_hidden = self.decoder(
+            dec_embeds, self_mask=causal_mask(L),
+            enc_hidden=memory, enc_mask=extend_mask(memory_mask),
+            cross_kvs=cross_kvs, deterministic=deterministic)
+        seq = dec_hidden * (d.t5.d_model ** -0.5)     # modeling_t5.py:1607
+
+        W = self._head_matrix()                        # (V, d)
+        # base logits: per-position slice of the tied head + eos column
+        def base_cols(t):
+            rows = jax.lax.dynamic_slice_in_dim(W, 2 + t * K, K, 0)  # (K,d)
+            return rows
+        slices = jnp.stack([base_cols(t) for t in range(L)])  # (L, K, d)
+        base = jnp.einsum("bld,lkd->blk", seq, slices)
+        base_eos = jnp.einsum("bld,d->bl", seq, W[1])
+
+        if d.use_pawa:
+            h_a = self.pawa(dec_embeds, deterministic=deterministic)
+            A = self._adaptor_tensor()                 # (d_in, d, V)
+            A_slices = jnp.stack([
+                jax.lax.dynamic_slice_in_dim(A, 2 + t * K, K, 2)
+                for t in range(L)])                    # (L, d_in, d, K)
+            delta = jnp.einsum("bli,lidk,bld->blk", h_a, A_slices, seq)
+            delta_eos = jnp.einsum("bli,id,bld->bl", h_a, A[:, :, 1], seq)
+            base = base + delta
+            base_eos = base_eos + delta_eos
+
+        logits = jnp.concatenate([base, base_eos[..., None]], axis=-1)
+        # final position (t = L-1) only allows EOS (modeling_t5.py:1306)
+        last = jnp.full((K + 1,), 0.0).at[:K].set(NEG)
+        pos_mask = jnp.zeros((L, K + 1)).at[L - 1].set(last)
+        return logits + pos_mask[None], dec_hidden
+
+    def __call__(self, input_ids, attention_mask, decoder_input_ids,
+                 deterministic=True):
+        """Returns (compact_logits, enc_hidden, dec_hidden, ori_hidden)."""
+        enc_hidden = self.encode(input_ids, attention_mask, deterministic)
+        memory, mem_mask, ori_hidden = self.build_memory(
+            enc_hidden, attention_mask, deterministic)
+        logits, dec_hidden = self.compact_logits(
+            decoder_input_ids, memory, mem_mask,
+            deterministic=deterministic)
+        return logits, enc_hidden, dec_hidden, ori_hidden
+
+
+def compact_to_full_logits(compact: jnp.ndarray, dims: NCIDims,
+                           fill: float = NEG) -> jnp.ndarray:
+    """Expand (b, L, kary+1) compact logits to the reference's full-vocab
+    masked layout (b, L, V) for parity checks."""
+    b, L, _ = compact.shape
+    K = dims.kary
+    V = dims.decode_vocab_size
+    full = jnp.full((b, L, V), fill, compact.dtype)
+    for t in range(L):
+        full = full.at[:, t, 2 + t * K: 2 + (t + 1) * K].set(
+            compact[:, t, :K])
+    full = full.at[:, :, 1].set(compact[:, :, K])
+    return full
+
+
+def compact_labels(codes: jnp.ndarray, dims: NCIDims) -> jnp.ndarray:
+    """Labels in compact-column space: (b, L) ints where position t<M is
+    the code (column index), position M is kary (EOS column), and
+    position M+1 is -100 (ignored — the padded slot)."""
+    b, m = codes.shape
+    eos_col = jnp.full((b, 1), dims.kary, jnp.int32)
+    pad = jnp.full((b, 1), -100, jnp.int32)
+    return jnp.concatenate([codes.astype(jnp.int32), eos_col, pad], axis=1)

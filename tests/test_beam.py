@@ -1,0 +1,78 @@
+"""Fused beam search vs the exhaustive-scoring oracle (the reference's
+own ``_generate_all`` idea, SURVEY.md §4 recommendation (b))."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mevi_tpu.decode.beam import nci_beam_search
+from mevi_tpu.decode.brute import (all_code_sequences, brute_force_topk,
+                                   score_sequences)
+from mevi_tpu.models.nci import NCIDims, NCIT5
+from mevi_tpu.models.t5 import T5Dims
+
+KARY, M = 3, 2
+L = M + 2
+
+
+@pytest.fixture(scope="module")
+def setup():
+    t5 = T5Dims(vocab_size=64, d_model=16, d_kv=4, d_ff=32, num_heads=4,
+                num_layers=1, num_decoder_layers=1, dropout_rate=0.0)
+    dims = NCIDims(t5=t5, kary=KARY, max_output_length=L,
+                   adaptor_layer_num=1, adaptor_num_heads=4,
+                   adaptor_d_ff=32)
+    model = NCIT5(dims)
+    rng = np.random.default_rng(3)
+    ids = jnp.array(rng.integers(2, 60, size=(3, 6)).astype(np.int32))
+    mask = jnp.array((rng.random((3, 6)) < 0.9).astype(np.int32))
+    mask = mask.at[:, 0].set(1)
+    dec_in = jnp.zeros((3, L), jnp.int32)
+    params = NCIT5(dims).init(jax.random.PRNGKey(7), ids, mask,
+                              dec_in)["params"]
+    return model, params, ids, mask
+
+
+def test_full_width_beam_enumerates_all(setup):
+    model, params, ids, mask = setup
+    nb = KARY ** M
+    codes, scores, _, _ = nci_beam_search(model, params, ids, mask, nb)
+    ref_codes, ref_scores = brute_force_topk(model, params, ids, mask, nb)
+    np.testing.assert_allclose(np.array(scores), ref_scores, atol=1e-5)
+    assert (np.array(codes) == ref_codes).all()
+
+
+def test_narrow_beam_top1_is_plausible(setup):
+    # beam with width >= K is exact at depth 2 for the top-1 path's first
+    # level; just check top-1 of a full-width beam equals oracle top-1 and
+    # narrow beam returns valid codes with descending scores.
+    model, params, ids, mask = setup
+    codes, scores, enc, dec = nci_beam_search(model, params, ids, mask, 2)
+    assert codes.shape == (3, 2, M)
+    assert (np.array(codes) >= 0).all() and (np.array(codes) < KARY).all()
+    s = np.array(scores)
+    assert (s[:, 0] >= s[:, 1] - 1e-6).all()
+    assert enc.shape[0] == 3 and dec.shape[0] == 6
+
+
+def test_beam_scores_match_oracle_scores(setup):
+    model, params, ids, mask = setup
+    nb = 4
+    codes, scores, _, _ = nci_beam_search(model, params, ids, mask, nb)
+    # rescore the beam's sequences with the oracle scorer: must agree
+    for q in range(3):
+        seq_scores = np.array(score_sequences(
+            model, params, ids[q:q + 1], mask[q:q + 1],
+            jnp.array(np.array(codes)[q])))[0]
+        np.testing.assert_allclose(np.array(scores)[q], seq_scores,
+                                   atol=1e-5)
+
+
+def test_beams_are_unique(setup):
+    model, params, ids, mask = setup
+    codes, _, _, _ = nci_beam_search(model, params, ids, mask, 5)
+    codes = np.array(codes)
+    for q in range(codes.shape[0]):
+        seqs = {tuple(c) for c in codes[q]}
+        assert len(seqs) == 5
