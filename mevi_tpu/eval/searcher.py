@@ -1,0 +1,173 @@
+"""Coarse -> fine retrieval engine.
+
+The reference's fine path loops per query / per beam over ragged host
+dict lookups, streaming memmap chunks to GPU
+(``MEVI/main_models.py:3915-4020``).  TPU-native layout instead:
+
+* document embeddings are **permuted into CSR order** (cluster-sorted) at
+  index-build time, so a cluster's members are a *contiguous* row range —
+  the per-beam gather is one padded slice, DMA-friendly, jit-able;
+* per (query, beam): rows ``offsets[c] .. offsets[c+1]`` are gathered to a
+  static ``cap``; scores are one batched matmul; beams merge by a single
+  top-k (clusters are disjoint, so no dedup is needed — each doc appears
+  in exactly one leaf cluster);
+* multi-chip: the permuted matrix is row-sharded over the ``corpus`` mesh
+  axis; every shard gathers the intersection of each bucket with its row
+  range, computes local top-k and results merge by ``all_gather`` — the
+  file-barrier protocol (``main_models.py:190-330``) becomes collectives.
+
+Returned doc ids are original corpus ids (via the CSR permutation).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..index.csr import CSRIndex, pack_codes
+from ..ops.topk import NEG_INF
+from ..parallel.mesh import CORPUS_AXIS, DATA_AXIS
+
+
+class FineIndex(NamedTuple):
+    """Serving-side index: CSR + cluster-sorted embeddings."""
+    offsets: jnp.ndarray      # (C+1,) int32
+    doc_ids: jnp.ndarray      # (N,) int32 — row -> original doc id
+    sorted_emb: jnp.ndarray   # (N, d) — embeddings permuted to CSR order
+    levels: int
+    kary: int
+
+
+def build_fine_index(codes: np.ndarray, emb: np.ndarray,
+                     kary: int, dtype=None) -> FineIndex:
+    """Build the serving layout from per-doc codes + embeddings."""
+    from ..index.csr import build_csr
+    offsets, doc_ids = build_csr(codes, kary)
+    sorted_emb = np.ascontiguousarray(emb[doc_ids])
+    if dtype is not None:
+        sorted_emb = sorted_emb.astype(dtype)
+    return FineIndex(jnp.asarray(offsets), jnp.asarray(doc_ids),
+                     jnp.asarray(sorted_emb), codes.shape[-1], kary)
+
+
+def _beam_scores(query_emb, beam_codes, offsets, doc_ids, sorted_emb,
+                 kary, cap, row_offset=0):
+    """Scores + original ids for each (query, beam, slot).
+
+    query_emb: (B, d); beam_codes: (B, nb, M).
+    Returns (scores (B, nb*cap), ids (B, nb*cap), sizes (B, nb)).
+    Rows outside [row_offset, row_offset + local_rows) are invalid
+    (sharded case — offsets are global, sorted_emb is the local shard).
+    """
+    B, nb, M = beam_codes.shape
+    n_local = sorted_emb.shape[0]
+    cidx = pack_codes(beam_codes, kary)                       # (B, nb)
+    start = offsets[cidx]
+    end = offsets[cidx + 1]
+    sizes = end - start
+    pos = jnp.arange(cap, dtype=jnp.int32)
+    rows = start[..., None] + pos                              # (B, nb, cap)
+    valid = (pos < sizes[..., None])
+    local = rows - row_offset
+    in_shard = (local >= 0) & (local < n_local)
+    ok = valid & in_shard
+    local = jnp.clip(local, 0, n_local - 1)
+    n_global = doc_ids.shape[0]
+    global_rows = jnp.clip(rows, 0, n_global - 1)
+    emb = sorted_emb[local]                                    # (B,nb,cap,d)
+    precision = (jax.lax.Precision.HIGHEST
+                 if query_emb.dtype == jnp.float32
+                 else jax.lax.Precision.DEFAULT)
+    scores = jnp.einsum("bd,bncd->bnc", query_emb, emb,
+                        precision=precision,
+                        preferred_element_type=jnp.float32)
+    scores = jnp.where(ok, scores, NEG_INF)
+    ids = jnp.where(ok, doc_ids[global_rows], -1)
+    return (scores.reshape(B, nb * cap), ids.reshape(B, nb * cap), sizes)
+
+
+@partial(jax.jit, static_argnames=("kary", "cap", "pool"))
+def fine_rerank(query_emb: jnp.ndarray, beam_codes: jnp.ndarray,
+                offsets: jnp.ndarray, doc_ids: jnp.ndarray,
+                sorted_emb: jnp.ndarray, kary: int, cap: int, pool: int,
+                ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """In-cluster MIPS re-rank of the coarse beam's clusters.
+
+    Returns (top scores (B, pool), top original doc ids (B, pool),
+    ndoc (B,) — total member count across the query's clusters, the
+    reference's ndoc@cluster metric, ``main_models.py:3936-3937``).
+    """
+    scores, ids, sizes = _beam_scores(
+        query_emb, beam_codes, offsets, doc_ids, sorted_emb, kary, cap)
+    k = min(pool, scores.shape[-1])
+    top_scores, posn = jax.lax.top_k(scores, k)
+    top_ids = jnp.take_along_axis(ids, posn, axis=-1)
+    top_ids = jnp.where(top_scores <= NEG_INF / 2, -1, top_ids)
+    return top_scores, top_ids, jnp.sum(sizes, axis=-1)
+
+
+def sharded_fine_rerank(query_emb, beam_codes, index: FineIndex,
+                        mesh: Mesh, cap: int, pool: int,
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Multi-chip fine re-rank.
+
+    ``index.sorted_emb`` is row-sharded over the corpus axis (shard i owns
+    rows [i*rows_per, (i+1)*rows_per)); offsets/doc_ids are replicated
+    (tiny).  Queries/beams shard over data.
+    """
+    n_corpus = mesh.shape[CORPUS_AXIS]
+    rows_per = index.sorted_emb.shape[0] // n_corpus
+    kary = index.kary
+
+    def local(query_emb, beam_codes, offsets, doc_ids, emb_shard):
+        shard = jax.lax.axis_index(CORPUS_AXIS)
+        scores, ids, sizes = _beam_scores(
+            query_emb, beam_codes, offsets, doc_ids, emb_shard, kary, cap,
+            row_offset=shard * rows_per)
+        k = min(pool, scores.shape[-1])
+        loc_scores, posn = jax.lax.top_k(scores, k)
+        loc_ids = jnp.take_along_axis(ids, posn, axis=-1)
+        all_scores = jax.lax.all_gather(loc_scores, CORPUS_AXIS)
+        all_ids = jax.lax.all_gather(loc_ids, CORPUS_AXIS)
+        B = loc_scores.shape[0]
+        all_scores = jnp.moveaxis(all_scores, 0, 1).reshape(B, -1)
+        all_ids = jnp.moveaxis(all_ids, 0, 1).reshape(B, -1)
+        top_scores, pos2 = jax.lax.top_k(all_scores, k)
+        top_ids = jnp.take_along_axis(all_ids, pos2, axis=-1)
+        top_ids = jnp.where(top_scores <= NEG_INF / 2, -1, top_ids)
+        return top_scores, top_ids, sizes.sum(-1)
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None, None),
+                  P(), P(), P(CORPUS_AXIS, None)),
+        out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None), P(DATA_AXIS)),
+        check_vma=False)
+    return fn(query_emb, beam_codes, index.offsets, index.doc_ids,
+              index.sorted_emb)
+
+
+# --------------------------------------------------------------------------
+# coarse metrics helpers
+# --------------------------------------------------------------------------
+
+def coarse_ranks(beam_codes: np.ndarray, gt_codes: np.ndarray,
+                 kary: int) -> np.ndarray:
+    """Rank of each gt doc's cluster in the beam list, -1 if absent.
+
+    beam_codes: (B, nb, M); gt_codes: (B, max_gt, M) with -1 padding.
+    Mirrors ``main_models.py:3772-3774`` (index of gt cluster in dec).
+    """
+    beam_idx = pack_codes(np.asarray(beam_codes), kary)       # (B, nb)
+    gt_valid = (np.asarray(gt_codes)[..., 0] >= 0)
+    gt_idx = pack_codes(np.maximum(np.asarray(gt_codes), 0), kary)
+    eq = gt_idx[:, :, None] == beam_idx[:, None, :]
+    eq &= gt_valid[:, :, None]
+    found = eq.any(-1)
+    first = eq.argmax(-1)
+    return np.where(found, first, -1)

@@ -1,0 +1,103 @@
+"""Fine re-rank engine vs a dict-based oracle (the reference's ragged
+cluster loop, ``main_models.py:3915-4020``)."""
+
+from collections import defaultdict
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mevi_tpu.eval import searcher
+from mevi_tpu.index.csr import pack_codes
+from mevi_tpu.parallel.mesh import shard_rows
+
+
+def oracle_fine(query_emb, beam_codes, doc_codes, emb, pool):
+    """Dict-based transcription of the reference fine loop."""
+    cluster = defaultdict(list)
+    for i, c in enumerate(doc_codes):
+        cluster[tuple(c.tolist())].append(i)
+    out_ids, out_scores, out_ndoc = [], [], []
+    for q in range(query_emb.shape[0]):
+        docs, scores = [], []
+        ndoc = 0
+        for b in beam_codes[q]:
+            members = cluster.get(tuple(b.tolist()), [])
+            ndoc += len(members)
+            for m in members:
+                docs.append(m)
+                scores.append(float(query_emb[q] @ emb[m]))
+        order = np.argsort(-np.array(scores), kind="stable")[:pool]
+        out_ids.append([docs[i] for i in order])
+        out_scores.append([scores[i] for i in order])
+        out_ndoc.append(ndoc)
+    return out_ids, out_scores, out_ndoc
+
+
+@pytest.fixture()
+def problem(rng):
+    n, d, kary, M = 400, 16, 4, 3
+    emb = rng.normal(size=(n, d)).astype(np.float32)
+    doc_codes = rng.integers(0, kary, size=(n, M)).astype(np.int32)
+    queries = rng.normal(size=(6, d)).astype(np.float32)
+    beam_codes = rng.integers(0, kary, size=(6, 5, M)).astype(np.int32)
+    index = searcher.build_fine_index(doc_codes, emb, kary)
+    return emb, doc_codes, queries, beam_codes, index
+
+
+def test_fine_rerank_matches_oracle(problem):
+    emb, doc_codes, queries, beam_codes, index = problem
+    scores, ids, ndoc = searcher.fine_rerank(
+        jnp.array(queries), jnp.array(beam_codes), index.offsets,
+        index.doc_ids, index.sorted_emb, index.kary, cap=64, pool=20)
+    oid, osc, ondoc = oracle_fine(queries, beam_codes, doc_codes, emb, 20)
+    ids, scores, ndoc = np.array(ids), np.array(scores), np.array(ndoc)
+    for q in range(queries.shape[0]):
+        k = len(oid[q])
+        assert ndoc[q] == ondoc[q]
+        np.testing.assert_allclose(scores[q][:k], osc[q], rtol=1e-4)
+        # same docs (ties can reorder equal scores; compare as sets of
+        # (score-rounded, id) pairs)
+        assert set(ids[q][:k].tolist()) == set(oid[q])
+        assert (ids[q][k:] == -1).all()
+
+
+def test_fine_rerank_sharded_matches_single(problem, mesh8):
+    emb, doc_codes, queries, beam_codes, index = problem
+    s1, i1, n1 = searcher.fine_rerank(
+        jnp.array(queries), jnp.array(beam_codes), index.offsets,
+        index.doc_ids, index.sorted_emb, index.kary, cap=64, pool=20)
+    # shard: queries over data axis (2), emb rows over corpus axis (4)
+    qs = jnp.array(np.concatenate([queries, queries[:2]]))  # pad to 8
+    bs = jnp.array(np.concatenate([beam_codes, beam_codes[:2]]))
+    sharded = searcher.FineIndex(
+        index.offsets, index.doc_ids,
+        shard_rows(np.array(index.sorted_emb), mesh8),
+        index.levels, index.kary)
+    s2, i2, n2 = searcher.sharded_fine_rerank(qs, bs, sharded, mesh8,
+                                              cap=64, pool=20)
+    np.testing.assert_allclose(np.array(s2)[:6], np.array(s1), rtol=1e-4)
+    valid = np.array(i1) >= 0
+    assert (np.array(i2)[:6] == np.array(i1))[valid].all()
+    assert (np.array(n2)[:6] == np.array(n1)).all()
+
+
+def test_cap_overflow_reports_true_ndoc(rng):
+    emb = rng.normal(size=(50, 8)).astype(np.float32)
+    doc_codes = np.zeros((50, 2), np.int32)      # all in one cluster
+    index = searcher.build_fine_index(doc_codes, emb, kary=4)
+    q = rng.normal(size=(1, 8)).astype(np.float32)
+    beams = np.zeros((1, 1, 2), np.int32)
+    scores, ids, ndoc = searcher.fine_rerank(
+        jnp.array(q), jnp.array(beams), index.offsets, index.doc_ids,
+        index.sorted_emb, index.kary, cap=16, pool=10)
+    assert int(ndoc[0]) == 50                     # true size even if capped
+    assert (np.array(ids)[0] >= 0).sum() == 10
+
+
+def test_coarse_ranks(rng):
+    kary = 4
+    beams = np.array([[[0, 1], [2, 3], [1, 1]]])
+    gts = np.array([[[2, 3], [0, 0], [-1, -1]]])
+    r = searcher.coarse_ranks(beams, gts, kary)
+    assert r.tolist() == [[1, -1, -1]]
