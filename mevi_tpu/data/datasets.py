@@ -1,0 +1,152 @@
+"""Host-side datasets and batch iterators.
+
+The reference samples hard negatives inside ``Dataset.__getitem__`` per
+step (``main_models.py:682-718``) under torch DataLoader workers.  Here
+the data pipeline is explicit numpy on the host (tokenization and
+negative sampling never touch the device), emitting fixed-shape batches
+that a prefetcher moves to device while the previous step runs.
+
+Hard-negative semantics (``sample_negatives``, ``main_models.py:
+1813-1950``, co_neg_from='clus' — the eval/train scripts' setting):
+
+* candidates = other members of the positive doc's RQ cluster;
+* if the cluster is a singleton, fall back to the union of all clusters
+  whose code differs in exactly one level (``make_key`` loop, 1859-1866);
+* if still empty, sample from the whole corpus;
+* sample ``co_neg_num`` with replacement when short, without otherwise.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Iterator, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..index.csr import pack_codes
+
+
+@dataclasses.dataclass
+class NCIDataset:
+    """(query tokens, code labels) pairs for seq2seq training."""
+    query_ids: np.ndarray     # (n, Lq) int32
+    query_mask: np.ndarray    # (n, Lq) int32
+    codes: np.ndarray         # (n, M) int32
+
+    def __post_init__(self):
+        assert len(self.query_ids) == len(self.codes)
+
+    def __len__(self):
+        return len(self.query_ids)
+
+    def batches(self, batch_size: int, rng: np.random.Generator,
+                shuffle: bool = True, drop_last: bool = True,
+                ) -> Iterator[Dict[str, np.ndarray]]:
+        n = len(self)
+        order = rng.permutation(n) if shuffle else np.arange(n)
+        end = n - (n % batch_size) if drop_last else n
+        for s in range(0, end, batch_size):
+            idx = order[s:s + batch_size]
+            if len(idx) < batch_size and drop_last:
+                break
+            yield {
+                "query_ids": self.query_ids[idx],
+                "query_mask": self.query_mask[idx],
+                "codes": self.codes[idx],
+            }
+
+
+class ClusterNegativeSampler:
+    """Hard negatives from the positive's RQ cluster (CSR-backed)."""
+
+    def __init__(self, doc_codes: np.ndarray, kary: int):
+        from ..index.csr import build_csr
+        self.kary = kary
+        self.levels = doc_codes.shape[-1]
+        self.doc_codes = np.asarray(doc_codes)
+        self.offsets, self.doc_ids = build_csr(doc_codes, kary)
+        self.num_docs = len(doc_codes)
+
+    def cluster_members(self, cluster_idx: int) -> np.ndarray:
+        s, e = self.offsets[cluster_idx], self.offsets[cluster_idx + 1]
+        return self.doc_ids[s:e]
+
+    def _hamming1_members(self, code: np.ndarray) -> np.ndarray:
+        outs = []
+        for lvl in range(self.levels):
+            for c in range(self.kary):
+                if c == code[lvl]:
+                    continue
+                alt = code.copy()
+                alt[lvl] = c
+                outs.append(self.cluster_members(
+                    int(pack_codes(alt, self.kary))))
+        return np.concatenate(outs) if outs else np.zeros(0, np.int32)
+
+    def sample(self, pos_doc: int, n_neg: int,
+               rng: np.random.Generator) -> np.ndarray:
+        code = self.doc_codes[pos_doc]
+        members = self.cluster_members(int(pack_codes(code, self.kary)))
+        cands = members[members != pos_doc]
+        if len(cands) == 0:
+            cands = self._hamming1_members(code)
+            cands = cands[cands != pos_doc]
+        if len(cands) == 0:
+            cands = rng.choice(self.num_docs, size=n_neg + 1,
+                               replace=False)
+            cands = cands[cands != pos_doc][:n_neg]
+        if len(cands) >= n_neg:
+            return rng.choice(cands, size=n_neg, replace=False)
+        return rng.choice(cands, size=n_neg, replace=True)
+
+
+@dataclasses.dataclass
+class TwinDataset:
+    """Twin-tower contrastive batches: query + (pos, negs) doc tokens."""
+    query_ids: np.ndarray     # (n, Lq)
+    query_mask: np.ndarray
+    pos_doc: np.ndarray       # (n,) int — positive doc id
+    doc_tokens: np.ndarray    # (ndoc, Ld) corpus doc tokens
+    doc_masks: np.ndarray
+    sampler: ClusterNegativeSampler
+    n_neg: int = 7            # --co_neg_num default (main.py:537)
+
+    def __len__(self):
+        return len(self.query_ids)
+
+    def batches(self, batch_size: int, rng: np.random.Generator,
+                shuffle: bool = True) -> Iterator[Dict[str, np.ndarray]]:
+        n = len(self)
+        order = rng.permutation(n) if shuffle else np.arange(n)
+        for s in range(0, n - (n % batch_size), batch_size):
+            idx = order[s:s + batch_size]
+            rows = []
+            for q in idx:
+                pos = int(self.pos_doc[q])
+                negs = self.sampler.sample(pos, self.n_neg, rng)
+                rows.append(np.concatenate([[pos], negs]))
+            docs = np.stack(rows).reshape(-1)         # (b * (1+neg),)
+            yield {
+                "query_ids": self.query_ids[idx],
+                "query_mask": self.query_mask[idx],
+                "doc_ids": self.doc_tokens[docs],
+                "doc_mask": self.doc_masks[docs],
+                "doc_index": docs.reshape(len(idx), 1 + self.n_neg),
+            }
+
+
+def device_prefetch(iterator, size: int = 2):
+    """Move host batches to device ahead of consumption."""
+    import collections
+    import jax
+    queue = collections.deque()
+
+    def put(batch):
+        queue.append(jax.device_put(batch))
+
+    for batch in iterator:
+        put(batch)
+        if len(queue) >= size:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()

@@ -1,0 +1,86 @@
+"""Dataset iterators, hard-negative sampler, checkpoint manager."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mevi_tpu.data.datasets import (ClusterNegativeSampler, NCIDataset,
+                                    TwinDataset, device_prefetch)
+from mevi_tpu.train.checkpoints import ArtifactCache, CheckpointManager
+
+
+def test_nci_dataset_batches(rng):
+    ds = NCIDataset(
+        query_ids=np.arange(40).reshape(10, 4).astype(np.int32),
+        query_mask=np.ones((10, 4), np.int32),
+        codes=rng.integers(0, 4, size=(10, 2)).astype(np.int32))
+    batches = list(ds.batches(4, rng))
+    assert len(batches) == 2
+    assert batches[0]["query_ids"].shape == (4, 4)
+    seen = np.concatenate([b["query_ids"][:, 0] for b in batches])
+    assert len(set(seen.tolist())) == 8  # shuffled, no dup
+
+
+def test_cluster_negative_sampler_in_cluster(rng):
+    codes = np.zeros((20, 2), np.int32)
+    codes[10:, 0] = 1                     # two clusters of 10
+    s = ClusterNegativeSampler(codes, kary=4)
+    negs = s.sample(3, 5, rng)
+    assert len(negs) == 5
+    assert (negs < 10).all() and (negs != 3).all()
+
+
+def test_cluster_negative_sampler_singleton_fallback(rng):
+    codes = np.array([[0, 0], [0, 1], [1, 0], [2, 2]], np.int32)
+    s = ClusterNegativeSampler(codes, kary=4)
+    negs = s.sample(0, 2, rng)             # cluster (0,0) is a singleton
+    # hamming-1 fallback: (0,1) and (1,0) qualify, (2,2) does not
+    assert set(negs.tolist()) <= {1, 2}
+
+
+def test_twin_dataset_groups(rng):
+    ndoc = 30
+    codes = rng.integers(0, 2, size=(ndoc, 2)).astype(np.int32)
+    ds = TwinDataset(
+        query_ids=np.ones((8, 4), np.int32),
+        query_mask=np.ones((8, 4), np.int32),
+        pos_doc=rng.integers(0, ndoc, 8),
+        doc_tokens=np.arange(ndoc * 6).reshape(ndoc, 6).astype(np.int32),
+        doc_masks=np.ones((ndoc, 6), np.int32),
+        sampler=ClusterNegativeSampler(codes, kary=2),
+        n_neg=3)
+    b = next(ds.batches(4, rng))
+    assert b["doc_ids"].shape == (16, 6)
+    assert b["doc_index"].shape == (4, 4)
+    assert (b["doc_index"][:, 0] >= 0).all()
+
+
+def test_device_prefetch_order(rng):
+    it = ({"x": np.array([i])} for i in range(5))
+    out = [int(b["x"][0]) for b in device_prefetch(it, size=2)]
+    assert out == list(range(5))
+
+
+def test_artifact_cache(tmp_path):
+    c = ArtifactCache(str(tmp_path))
+    assert not c.has("k1", "emb.npy")
+    c.save_array("k1", "emb.npy", np.eye(3))
+    assert c.has("k1", "emb.npy")
+    np.testing.assert_array_equal(c.load_array("k1", "emb.npy"), np.eye(3))
+    c.save_json("k1", "meta.json", {"a": 1})
+    assert c.load_json("k1", "meta.json") == {"a": 1}
+
+
+def test_checkpoint_manager_topk(tmp_path):
+    mgr = CheckpointManager(str(tmp_path / "ck"), keep=2,
+                            monitor="recall", mode="max")
+    state = {"w": jnp.ones((2, 2))}
+    assert mgr.save("e1", state, metric=0.5) is not None
+    assert mgr.save("e2", state, metric=0.7) is not None
+    assert mgr.save("e3", state, metric=0.2) is None     # below top-2
+    assert mgr.save("e4", state, metric=0.9) is not None  # evicts e1
+    assert mgr.best_tag() == "e4"
+    restored = mgr.restore("e4", {"w": jnp.zeros((2, 2))})
+    np.testing.assert_array_equal(np.array(restored["w"]), np.ones((2, 2)))
+    import os.path as osp
+    assert not osp.exists(str(tmp_path / "ck" / "e1"))
