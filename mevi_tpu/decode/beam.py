@@ -82,12 +82,14 @@ def nci_beam_search(
     def step_logits(tokens, t):
         compact, dec_hidden = apply(
             NCIT5.compact_logits, tokens, None, mem_mask_b, kvs_b)
-        return (jax.nn.log_softmax(
-            compact[:, t, :].astype(jnp.float32), axis=-1), dec_hidden)
+        row = jax.lax.dynamic_index_in_dim(compact, t, axis=1,
+                                           keepdims=False)
+        return (jax.nn.log_softmax(row.astype(jnp.float32), axis=-1),
+                dec_hidden)
 
-    dec_hidden = None
-    for t in range(M):
-        logp, dec_hidden = step_logits(tokens, t)       # (B*nb, K+1)
+    def beam_step(carry, t):
+        tokens, beam_scores = carry
+        logp, _ = step_logits(tokens, t)                # (B*nb, K+1)
         code_lp = logp[:, :K].reshape(B, nb, K)
         cand = beam_scores[:, :, None] + code_lp        # (B, nb, K)
         flat = cand.reshape(B, nb * K)
@@ -99,6 +101,12 @@ def nci_beam_search(
         tokens = tokens[gather_rows]
         tok = (code + t * K + 2).reshape(-1)
         tokens = tokens.at[:, t + 1].set(tok)
+        return (tokens, beam_scores), None
+
+    # the per-step compute is shape-identical: scan compiles it ONCE
+    # (the reference re-traces nothing but pays a python loop per step)
+    (tokens, beam_scores), _ = jax.lax.scan(
+        beam_step, (tokens, beam_scores), jnp.arange(M))
 
     # final step: every surviving beam emits EOS (the tree's leaf layer)
     logp, dec_hidden = step_logits(tokens, M)

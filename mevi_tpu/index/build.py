@@ -1,0 +1,147 @@
+"""End-to-end index build: embed corpus -> train RQ -> CSR fine index.
+
+Rebuilds the reference's validation-driven artifact jobs as explicit
+device pipelines:
+
+* ``embed_corpus`` == ``gen_doc_embedding`` (``main_models.py:3077-3180``):
+  batched encoder forwards; instead of per-rank /tmp memmap shards merged
+  by rank0 after a barrier, the batch axis is sharded over the mesh and
+  results land in one host array (or stay on device),
+* ``build_rq_index`` == ``pq.initialize`` + ``gen_pq_doc_cluster``
+  (``pq.py:440-486``, ``main_models.py:3182-3220``): on-device k-means
+  per residual level, then cluster assignment + CSR layout + the
+  cluster-sorted embedding matrix for serving,
+* ``doc_topk_codes`` == ``gen_pq_doc_topk`` (``main_models.py:3222-3270``)
+  via the RQ codebook beam search,
+* ``reconstruct_all`` == ``gen_all_reconstruct`` (3272-3309): centroids of
+  every leaf cluster (kept lazy — only small K^M are materializable).
+
+All artifacts go through :class:`~mevi_tpu.train.checkpoints.ArtifactCache`
+keyed by config hash, mirroring the reference's content-addressed cache.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import MEVIConfig
+from ..eval.searcher import FineIndex, build_fine_index
+from ..index.csr import unpack_codes
+from ..ops import rq as rq_ops
+from ..train.checkpoints import ArtifactCache
+
+
+def embed_corpus(
+    rep_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    tokens: np.ndarray,
+    masks: np.ndarray,
+    batch_size: int = 1024,
+    out_dtype=np.float32,
+    progress: Optional[Callable[[int, int], None]] = None,
+) -> np.ndarray:
+    """Embed a tokenized corpus with a jitted representation function.
+
+    ``rep_fn(ids, mask) -> (b, d)`` — typically a tower's first-token /
+    CLS rep under jit (shard the batch axis for multi-chip).  Handles the
+    ragged tail by padding to the batch size (static shapes, one compile).
+    """
+    n = len(tokens)
+    d = None
+    out = None
+    for s in range(0, n, batch_size):
+        ids = tokens[s:s + batch_size]
+        mk = masks[s:s + batch_size]
+        real = len(ids)
+        if real < batch_size:
+            pad = batch_size - real
+            ids = np.concatenate([ids, np.zeros((pad,) + ids.shape[1:],
+                                                ids.dtype)])
+            mk = np.concatenate([mk, np.ones((pad,) + mk.shape[1:],
+                                             mk.dtype)])
+        emb = np.asarray(rep_fn(jnp.asarray(ids), jnp.asarray(mk)))
+        if out is None:
+            d = emb.shape[-1]
+            out = np.empty((n, d), out_dtype)
+        out[s:s + real] = emb[:real].astype(out_dtype)
+        if progress:
+            progress(s + real, n)
+    return out
+
+
+@dataclasses.dataclass
+class RQIndexArtifacts:
+    codebooks: np.ndarray     # (M, K, d)
+    codes: np.ndarray         # (n, M)
+    fine: FineIndex
+
+
+def build_rq_index(cfg: MEVIConfig, emb: np.ndarray,
+                   seed: int = 42, iters: int = 25,
+                   serving_dtype=None,
+                   cache: Optional[ArtifactCache] = None,
+                   ) -> RQIndexArtifacts:
+    """Train RQ codebooks on the embeddings and lay out the fine index."""
+    rq = cfg.rq
+    key = None
+    codebooks = codes = None
+    akey = cfg.artifact_key("rq_index", len(emb), iters, seed)
+    if cache is not None and cache.has(akey, "codebooks.npy"):
+        codebooks = cache.load_array(akey, "codebooks.npy")
+        codes = cache.load_array(akey, "codes.npy")
+    else:
+        cbs, cds = rq_ops.rq_train(
+            jnp.asarray(emb), levels=rq.subvector_num, kary=rq.kary,
+            iters=iters, key=jax.random.PRNGKey(seed),
+            dist_mode=rq.dist_mode, pq_type=rq.pq_type)
+        codebooks, codes = np.asarray(cbs), np.asarray(cds)
+        if cache is not None:
+            cache.save_array(akey, "codebooks.npy", codebooks)
+            cache.save_array(akey, "codes.npy", codes)
+    fine = build_fine_index(codes, emb, rq.kary, dtype=serving_dtype)
+    return RQIndexArtifacts(codebooks, codes, fine)
+
+
+def assign_with_codebooks(cfg: MEVIConfig, emb: np.ndarray,
+                          codebooks: np.ndarray,
+                          batch: int = 262144) -> np.ndarray:
+    """Assign codes with existing codebooks (e.g. mapping a sampled-corpus
+    RQ back to the full corpus, ``gen_sampled_to_full.py:25-99``)."""
+    outs = []
+    cbs = jnp.asarray(codebooks)
+    for s in range(0, len(emb), batch):
+        outs.append(np.asarray(rq_ops.assign(
+            jnp.asarray(emb[s:s + batch]), cbs,
+            cfg.rq.pq_type, cfg.rq.dist_mode)))
+    return np.concatenate(outs)
+
+
+def doc_topk_codes(cfg: MEVIConfig, emb: np.ndarray,
+                   codebooks: np.ndarray, topk: int,
+                   batch: int = 65536) -> np.ndarray:
+    """Per-doc top-k codes via codebook beam search
+    (``get_topk_document_mapping``, ``pq.py:715-741``)."""
+    outs = []
+    cbs = jnp.asarray(codebooks)
+    for s in range(0, len(emb), batch):
+        codes, _ = rq_ops.beam_search(
+            jnp.asarray(emb[s:s + batch]), cbs, num_beams=topk,
+            pq_type=cfg.rq.pq_type, dist_mode=cfg.rq.dist_mode,
+            score_mode=cfg.rq.rq_topk_score)
+        outs.append(np.asarray(codes))
+    return np.concatenate(outs)
+
+
+def reconstruct_leaf_centroids(cfg: MEVIConfig, codebooks: np.ndarray,
+                               cluster_indices: np.ndarray) -> np.ndarray:
+    """Reconstructed centroid of given leaf clusters (lazy variant of
+    ``gen_all_reconstruct``: 32^4 x 768 fp32 is 3.2 GB — materialize only
+    what a query touches)."""
+    codes = unpack_codes(np.asarray(cluster_indices),
+                         cfg.rq.subvector_num, cfg.rq.kary)
+    return np.asarray(rq_ops.reconstruct(
+        jnp.asarray(codes), jnp.asarray(codebooks), cfg.rq.pq_type))
