@@ -1,0 +1,206 @@
+"""Evaluation driver: coarse beam -> fine re-rank -> metrics + result tsvs.
+
+Rebuild of the reference's inference engine (``T5FineTunerWithValidation``,
+``main_models.py:3518-4393``): per batch it decodes RQ codes with the
+constrained beam, re-ranks inside the predicted clusters with the twin
+tower, and accumulates the rank of each ground-truth doc; at the end it
+produces Recall/MRR/HitRate@k at coarse and fine levels, ndoc@cluster,
+and the coarse/fine/hard-neg result tsvs the ensemble consumes
+(``main_models.py:4227-4235``).
+
+Device work is batched and jitted; only the metric bookkeeping and tsv
+writing stay on host.  No mp.spawn, no NCCL, no barrier-file merges.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import InferConfig
+from ..data import io
+from ..decode.beam import nci_beam_search
+from ..models.nci import NCIT5
+from .metrics import metrics_from_rank_matrix, ranks_of_gts
+from .searcher import FineIndex, coarse_ranks, fine_rerank
+
+
+@dataclasses.dataclass
+class EvalBatchResult:
+    queries: List[str]
+    beam_codes: np.ndarray       # (b, nb, M)
+    beam_scores: np.ndarray      # (b, nb)
+    fine_ids: Optional[np.ndarray] = None     # (b, pool)
+    fine_scores: Optional[np.ndarray] = None
+    ndoc: Optional[np.ndarray] = None
+
+
+@dataclasses.dataclass
+class EvalOutputs:
+    coarse: Optional[dict] = None            # metrics dicts
+    fine: Optional[dict] = None
+    ndoc_per_query: float = 0.0
+    nonempty_hit: float = 0.0
+    results: Optional[List[EvalBatchResult]] = None
+
+
+def pad_batch(arrs: Sequence[np.ndarray], batch: int) -> Tuple:
+    """Pad the ragged final batch to the jit batch size; returns
+    (padded arrays, real count)."""
+    real = len(arrs[0])
+    if real == batch:
+        return tuple(arrs), real
+    out = []
+    for a in arrs:
+        pad = np.repeat(a[-1:], batch - real, axis=0)
+        out.append(np.concatenate([a, pad], axis=0))
+    return tuple(out), real
+
+
+class Evaluator:
+    """Batched coarse+fine evaluation over a query set."""
+
+    def __init__(self, model: NCIT5, params, cfg: InferConfig,
+                 fine_index: Optional[FineIndex] = None,
+                 query_rep_fn: Optional[Callable] = None,
+                 doc_codes: Optional[np.ndarray] = None):
+        """query_rep_fn(ids, mask) -> (b, d) twin-tower query embedding
+        (the --query_encoder twin path used by the eval scripts)."""
+        self.model = model
+        self.params = params
+        self.cfg = cfg
+        self.fine_index = fine_index
+        self.query_rep_fn = query_rep_fn
+        self.doc_codes = doc_codes
+        nb = cfg.beams()
+        self._rerank = None
+        if fine_index is not None:
+            kary = fine_index.kary
+
+            @jax.jit
+            def rerank(qemb, codes, off, did, semb):
+                return fine_rerank(qemb, codes, off, did, semb, kary,
+                                   cfg.max_cluster_docs,
+                                   max(cfg.recall_num))
+            self._rerank = rerank
+
+    def run_batch(self, queries: List[str], query_ids: np.ndarray,
+                  query_mask: np.ndarray) -> EvalBatchResult:
+        cfg = self.cfg
+        codes, scores, _, _ = nci_beam_search(
+            self.model, self.params, jnp.asarray(query_ids),
+            jnp.asarray(query_mask), cfg.beams(), cfg.length_penalty)
+        codes = np.asarray(codes)[:, :cfg.num_return_sequences]
+        scores = np.asarray(scores)[:, :cfg.num_return_sequences]
+        out = EvalBatchResult(queries, codes, scores)
+        if (cfg.recall_level in ("fine", "both")
+                and self.fine_index is not None):
+            qemb = self.query_rep_fn(jnp.asarray(query_ids),
+                                     jnp.asarray(query_mask))
+            qemb = qemb.astype(self.fine_index.sorted_emb.dtype)
+            fi = self.fine_index
+            fs, fid, nd = self._rerank(qemb, jnp.asarray(codes),
+                                       fi.offsets, fi.doc_ids,
+                                       fi.sorted_emb)
+            out.fine_scores = np.asarray(fs)
+            out.fine_ids = np.asarray(fid)
+            out.ndoc = np.asarray(nd)
+        return out
+
+    def evaluate(self, queries: List[str], query_ids: np.ndarray,
+                 query_mask: np.ndarray, gt_docids: List[List[int]],
+                 batch_size: int = 16,
+                 keep_results: bool = False) -> EvalOutputs:
+        cfg = self.cfg
+        n = len(queries)
+        max_gt = max(len(g) for g in gt_docids)
+        gt_mat = np.full((n, max_gt), -1, np.int64)
+        for i, g in enumerate(gt_docids):
+            gt_mat[i, :len(g)] = g
+        gt_counts = np.array([len(g) for g in gt_docids])
+
+        all_coarse_ranks = []
+        all_fine_ranks = []
+        ndocs = []
+        results = []
+        for s in range(0, n, batch_size):
+            sl = slice(s, min(s + batch_size, n))
+            (qi, qm), real = pad_batch(
+                [query_ids[sl], query_mask[sl]], batch_size)
+            res = self.run_batch(list(queries[sl.start:sl.stop]), qi, qm)
+            res.beam_codes = res.beam_codes[:real]
+            res.beam_scores = res.beam_scores[:real]
+            if res.fine_ids is not None:
+                res.fine_ids = res.fine_ids[:real]
+                res.fine_scores = res.fine_scores[:real]
+                res.ndoc = res.ndoc[:real]
+                ndocs.append(res.ndoc)
+            if keep_results:
+                results.append(res)
+
+            if cfg.recall_level in ("coarse", "both"):
+                if self.doc_codes is None:
+                    raise ValueError("coarse metrics need doc_codes")
+                gt_codes = np.where(
+                    gt_mat[sl][..., None] >= 0,
+                    self.doc_codes[np.maximum(gt_mat[sl], 0)], -1)
+                all_coarse_ranks.append(coarse_ranks(
+                    res.beam_codes, gt_codes, self.model.dims.kary))
+            if res.fine_ids is not None:
+                all_fine_ranks.append(ranks_of_gts(res.fine_ids,
+                                                   gt_mat[sl]))
+
+        out = EvalOutputs(results=results if keep_results else None)
+        if all_coarse_ranks:
+            cranks = np.concatenate(all_coarse_ranks)
+            ks = sorted({k for k in cfg.recall_num
+                         if k <= cfg.num_return_sequences}
+                        | {cfg.num_return_sequences})
+            out.coarse = metrics_from_rank_matrix(cranks, gt_counts, ks)
+            out.nonempty_hit = float((cranks >= 0).any(1).mean())
+        if all_fine_ranks:
+            franks = np.concatenate(all_fine_ranks)
+            out.fine = metrics_from_rank_matrix(franks, gt_counts,
+                                                cfg.recall_num)
+        if ndocs:
+            out.ndoc_per_query = float(np.concatenate(ndocs).mean())
+        return out
+
+
+def write_result_files(outputs: EvalOutputs, gt_docids: List[List[int]],
+                       coarse_path: Optional[str] = None,
+                       fine_path: Optional[str] = None,
+                       hardneg_path: Optional[str] = None) -> None:
+    """Write the ensemble-facing tsvs (``main_models.py:4227-4235``)."""
+    assert outputs.results is not None, "evaluate(keep_results=True)"
+    qi = 0
+    coarse_rows, fine_rows, hn_rows = [], [], []
+    for res in outputs.results:
+        for b in range(len(res.queries)):
+            gts = gt_docids[qi]
+            if coarse_path:
+                coarse_rows.append((
+                    res.queries[b],
+                    [c.tolist() for c in res.beam_codes[b]],
+                    gts, res.beam_scores[b].tolist()))
+            if res.fine_ids is not None:
+                ids = [int(d) for d in res.fine_ids[b] if d >= 0]
+                if fine_path:
+                    fine_rows.append((res.queries[b],
+                                      int(res.ndoc[b]), ids, gts))
+                if hardneg_path:
+                    k = len(ids)
+                    hn_rows.append((
+                        res.queries[b], [],
+                        ids, res.fine_scores[b][:k].tolist()))
+            qi += 1
+    if coarse_path:
+        io.write_coarse_results(coarse_path, coarse_rows)
+    if fine_path:
+        io.write_fine_results(fine_path, fine_rows)
+    if hardneg_path:
+        io.write_hardneg_results(hardneg_path, hn_rows)
