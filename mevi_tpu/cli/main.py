@@ -1,0 +1,530 @@
+"""mevi_tpu command line.
+
+Replaces the reference's 200-flag ``main.py`` + per-stage shell scripts
+with typed subcommands over one JSON config:
+
+  prepare        build train/dev/doc-aug/qg tsvs        (prepare_origin.py)
+  tokenize       corpus/query -> memmaps      (prepare_passage_tokenized)
+  gen-embeddings corpus/query embedding job              (generate.py, C13)
+  build-index    RQ codebooks + CSR fine index  (marco_generate_*_rq.sh)
+  train          NCI seq2seq training              (marco_train_nci_rq.sh)
+  eval           coarse/fine evaluation             (marco_eval_nci_rq.sh)
+  search         exact MIPS top-k over embeddings      (faiss_search.py)
+  evaluate       offline ranks-vs-gt evaluator            (evaluate.py)
+  ensemble       score fusion                        (ensemble_marco.py)
+
+Every command takes ``--config config.json`` (defaults applied when
+absent) and stage-specific paths.  Run ``python -m mevi_tpu.cli.main
+<cmd> --help``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import os.path as osp
+import sys
+
+import numpy as np
+
+from ..config import MEVIConfig
+
+
+def load_config(path) -> MEVIConfig:
+    if path and osp.exists(path):
+        with open(path) as fr:
+            cfg = MEVIConfig.from_json(fr.read())
+    else:
+        cfg = MEVIConfig()
+    return cfg.finalize()
+
+
+# --------------------------------------------------------------------------
+# commands
+# --------------------------------------------------------------------------
+
+def cmd_prepare(args):
+    from ..data import io, prepare as P
+    os.makedirs(args.origin_dir, exist_ok=True)
+    queries = P.read_id_text_tsv(osp.join(args.raw_dir,
+                                          "train.query.txt"))
+    import csv
+    with open(osp.join(args.raw_dir, "qrels.train.tsv")) as fr:
+        rows = list(csv.reader(fr, delimiter="\t"))
+    pairs = P.build_train_pairs(queries, rows)
+    io.write_query_docids_tsv(
+        osp.join(args.origin_dir, "train_mevi.tsv"),
+        [(q, [d]) for q, d in pairs])
+
+    dev_queries = P.read_id_text_tsv(osp.join(args.raw_dir,
+                                              "dev.query.txt"))
+    with open(osp.join(args.raw_dir, "qrels.dev.tsv")) as fr:
+        rows = list(csv.reader(fr, delimiter="\t"))
+    io.write_query_docids_tsv(
+        osp.join(args.origin_dir, "dev_mevi_dedup.tsv"),
+        P.build_dev_dedup(dev_queries, rows))
+    print("wrote train_mevi.tsv / dev_mevi_dedup.tsv")
+
+    if args.doc_aug:
+        corpus = osp.join(args.raw_dir, "corpus.tsv")
+        def rows_iter():
+            with open(corpus, encoding="utf-8") as fr:
+                for line in fr:
+                    did, title, content = (line.rstrip("\n").split("\t")
+                                           + ["", ""])[:3]
+                    yield int(did), title, content
+        spans = P.doc_aug_spans(list(rows_iter()))
+        io.write_query_docids_tsv(
+            osp.join(args.origin_dir, "doc_aug.tsv"),
+            [(q, [d]) for q, d in spans])
+        print("wrote doc_aug.tsv")
+
+
+def cmd_tokenize(args):
+    from ..data import io as dio
+    from ..data.tokenize import (get_tokenizer, tokenize_passages,
+                                 tokenize_queries)
+    tok = get_tokenizer(args.style)
+    if args.kind == "corpus":
+        rows = []
+        with open(args.input, encoding="utf-8") as fr:
+            for line in fr:
+                _, title, content = (line.rstrip("\n").split("\t")
+                                     + ["", ""])[:3]
+                rows.append((title, content))
+        tokens, masks = tokenize_passages(rows, tok, args.style,
+                                          args.length)
+        dio.write_token_memmaps(args.output, tokens, masks)
+    else:
+        rows = dio.read_query_docids_tsv(args.input)
+        ids, mask = tokenize_queries([q for q, _ in rows], tok,
+                                     args.length)
+        dio.write_token_memmaps(args.output, ids.astype(np.int64),
+                                mask.astype(np.int64))
+    print(f"tokenized {args.kind}: {args.output}")
+
+
+def cmd_gen_embeddings(args):
+    import jax
+    import jax.numpy as jnp
+    from ..data import io as dio
+    from ..index.build import embed_corpus
+    from ..models import convert
+    from ..models.twin_tower import make_tower
+    cfg = load_config(args.config)
+    tower = make_tower(cfg.encoder.family)
+    sd = convert.load_torch_state_dict(args.checkpoint)
+    if cfg.encoder.family == "t5":
+        params = convert.convert_t5_model(sd, cfg.encoder.num_layers, 12)
+    else:
+        params = convert.convert_bert_model(sd, cfg.encoder.num_layers)
+
+    @jax.jit
+    def rep_fn(ids, mask):
+        return tower.rep(params, ids, mask)
+
+    tokens, masks = dio.open_token_memmaps(args.documents,
+                                           args.doc_length)
+    emb = embed_corpus(rep_fn, np.asarray(tokens), np.asarray(masks),
+                       batch_size=cfg.train.encode_batch_size,
+                       progress=lambda d, n: print(
+                           f"\r{d}/{n}", end="", file=sys.stderr))
+    dio.write_embedding_memmap(args.output, emb)
+    print(f"\nwrote {args.output}: {emb.shape}")
+
+
+def cmd_build_index(args):
+    from ..data import io as dio
+    from ..index.build import build_rq_index
+    from ..train.checkpoints import ArtifactCache
+    cfg = load_config(args.config)
+    emb = np.asarray(dio.open_embedding_memmap(args.embeddings,
+                                               cfg.rq.emb_size))
+    cache = ArtifactCache(args.cache_dir) if args.cache_dir else None
+    arts = build_rq_index(cfg, emb, seed=args.seed, iters=args.iters,
+                          cache=cache)
+    os.makedirs(args.output_dir, exist_ok=True)
+    np.save(osp.join(args.output_dir, "rq_codebooks.npy"), arts.codebooks)
+    np.save(osp.join(args.output_dir, "rq_codes.npy"), arts.codes)
+    np.save(osp.join(args.output_dir, "csr_offsets.npy"),
+            np.asarray(arts.fine.offsets))
+    np.save(osp.join(args.output_dir, "csr_doc_ids.npy"),
+            np.asarray(arts.fine.doc_ids))
+    from ..index.csr import size_histogram
+    hist = size_histogram(arts.fine.offsets)
+    print(json.dumps(hist))
+
+
+def cmd_search(args):
+    import jax.numpy as jnp
+    import time
+    from ..data import io as dio
+    from ..ops.mips import mips_topk
+    cfg = load_config(args.config)
+    docs = np.asarray(dio.open_embedding_memmap(args.doc_embeddings,
+                                                cfg.rq.emb_size))
+    queries = np.asarray(dio.open_embedding_memmap(args.query_embeddings,
+                                                   cfg.rq.emb_size))
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    docs_d = jnp.asarray(docs, dtype)
+    out_scores, out_ids = [], []
+    bs = args.batch
+    t0 = time.time()
+    for s in range(0, len(queries), bs):
+        q = jnp.asarray(queries[s:s + bs], dtype)
+        sc, ids = mips_topk(q, docs_d, k=args.topk)
+        out_scores.append(np.asarray(sc))
+        out_ids.append(np.asarray(ids))
+    dt = time.time() - t0
+    print(f"{len(queries)} queries in {dt:.2f}s "
+          f"({len(queries) / dt:.1f} q/s)", file=sys.stderr)
+    if args.output:
+        # faiss_search.to_file contract: query_idx \t\t preds \t scores
+        with open(args.output, "w") as fw:
+            ids = np.concatenate(out_ids)
+            scs = np.concatenate(out_scores)
+            names = None
+            if args.queries_tsv:
+                names = [q for q, _ in dio.read_query_docids_tsv(
+                    args.queries_tsv)]
+            for i in range(len(ids)):
+                name = names[i] if names else str(i)
+                fw.write("\t".join([
+                    name, "",
+                    str(ids[i].tolist()),
+                    str([float(x) for x in scs[i]]),
+                ]) + "\n")
+
+
+def cmd_evaluate(args):
+    from ..data import io as dio
+    from ..eval.metrics import evaluate_ranks
+    gts = dio.read_gt_dict(args.gt_file)
+    preds, _, _ = dio.parse_result_tsv(
+        args.ranks_file, {"query": 0, "pred": args.pred_col})
+    ks = tuple(int(x) for x in args.recall_num.split(","))
+    m = evaluate_ranks(gts, preds, ks)
+    for name in ("recall", "mrr"):
+        for k in ks:
+            print(f"{name.upper()}{k}", m[name][k])
+    if args.ofile:
+        with open(args.ofile, "w") as fw:
+            json.dump(m, fw, indent=1)
+
+
+def cmd_ensemble(args):
+    import pickle
+    from ..data import io as dio
+    from ..eval.ensemble import run_ensemble
+    gts = dio.read_gt_dict(args.gt_file)
+    ance_preds, ance_scores, _ = dio.parse_result_tsv(
+        args.ance_file, {"query": 0, "pred": 2, "score": 3})
+    _, _, clusters = dio.parse_result_tsv(args.coarse_file,
+                                          {"query": 0, "cluster": 1})
+    fine_preds = fine_scores = None
+    if args.fine_file:
+        fine_preds, fine_scores, _ = dio.parse_result_tsv(
+            args.fine_file, {"query": 0, "pred": 2, "score": 3})
+    if args.mapping_file.endswith(".pkl"):
+        with open(args.mapping_file, "rb") as fr:
+            mapping = pickle.load(fr)
+    else:
+        codes = np.load(args.mapping_file)
+        mapping = {i: tuple(c.tolist()) for i, c in enumerate(codes)}
+    results = run_ensemble(
+        gts, ance_preds, ance_scores, clusters, mapping,
+        fine_preds, fine_scores,
+        alphas=tuple(float(x) for x in args.alphas.split(",")),
+        betas=tuple(float(x) for x in args.betas.split(",")),
+        gammas=tuple(float(x) for x in args.gammas.split(",")),
+        recall_ks=tuple(int(x) for x in args.recall_num.split(",")))
+    lines = []
+    for (a, b, g), m in results.items():
+        lines.append(f"alpha={a} beta={b} gamma={g}: " + " ".join(
+            f"R@{k}={v:.6f}" for k, v in m["recall"].items()) + " "
+            + " ".join(f"MRR@{k}={v:.6f}" for k, v in m["mrr"].items()))
+    print("\n".join(lines))
+    if args.ofile:
+        with open(args.ofile, "w") as fw:
+            fw.write("\n".join(lines) + "\n")
+
+
+def cmd_train(args):
+    import jax
+    import jax.numpy as jnp
+    from ..data import io as dio
+    from ..data.datasets import NCIDataset
+    from ..models.nci import NCIDims, NCIT5
+    from ..models.t5 import T5Dims
+    from ..train import trainer as T
+    from ..train.checkpoints import CheckpointManager
+    from ..utils.logging import MetricsLogger, run_name
+
+    cfg = load_config(args.config)
+    m = cfg.model
+    dims = NCIDims(
+        t5=T5Dims(vocab_size=m.vocab_size, d_model=m.d_model,
+                  d_kv=m.d_kv, d_ff=m.d_ff, num_heads=m.num_heads,
+                  num_layers=m.num_layers,
+                  num_decoder_layers=m.num_decoder_layers,
+                  dropout_rate=m.dropout_rate),
+        kary=m.kary, max_output_length=m.max_output_length,
+        adaptor_layer_num=m.adaptor_layer_num,
+        adaptor_num_heads=m.adaptor_num_heads)
+    model = NCIT5(dims)
+
+    qids, qmask = dio.open_token_memmaps(args.queries, args.query_length)
+    codes = np.load(args.codes)
+    pairs = dio.read_query_docids_tsv(args.train_tsv) if args.train_tsv \
+        else None
+    if pairs is not None:
+        docids = np.array([ids[0] for _, ids in pairs])
+        codes = codes[docids]
+    ds = NCIDataset(np.asarray(qids, np.int32)[:len(codes)],
+                    np.asarray(qmask, np.int32)[:len(codes)],
+                    codes.astype(np.int32))
+
+    rng = np.random.default_rng(cfg.train.seed)
+    bs = cfg.train.train_batch_size
+    steps_per_epoch = max(len(ds) // bs, 1)
+    total = steps_per_epoch * cfg.train.num_train_epochs
+
+    params = model.init(
+        jax.random.PRNGKey(cfg.train.seed),
+        jnp.zeros((1, args.query_length), jnp.int32),
+        jnp.ones((1, args.query_length), jnp.int32),
+        jnp.zeros((1, m.max_output_length), jnp.int32))["params"]
+    opt = T.make_optimizer(cfg.train, params, total_steps=total)
+    state = T.init_state(params, opt)
+    step_cfg = T.NCIStepConfig(rdrop=m.rdrop, rdrop_loss=m.rdrop_loss)
+    step = T.make_nci_train_step(model, opt, step_cfg)
+
+    logger = MetricsLogger(args.log_dir or cfg.ckpt_dir,
+                           run_name("nci", cfg))
+    ckpts = CheckpointManager(osp.join(cfg.ckpt_dir, "nci"),
+                              keep=2, monitor="loss", mode="min")
+    key = jax.random.PRNGKey(cfg.train.seed)
+    gstep = 0
+    for epoch in range(cfg.train.num_train_epochs):
+        for batch in ds.batches(bs, rng):
+            key, sub = jax.random.split(key)
+            state, metrics = step(
+                state, {k: jnp.asarray(v) for k, v in batch.items()},
+                sub if m.dropout_rate > 0 or m.rdrop > 0 else None)
+            gstep += 1
+            if gstep % args.log_every == 0:
+                logger.log({k: float(v) for k, v in metrics.items()},
+                           gstep)
+        loss = float(metrics["loss"])
+        print(f"epoch {epoch}: loss {loss:.4f}")
+        ckpts.save(f"epoch{epoch}", {"params": state.params},
+                   metric=loss)
+        if args.max_epochs and epoch + 1 >= args.max_epochs:
+            break
+    logger.close()
+
+
+def cmd_eval(args):
+    """Coarse/fine evaluation (the marco_eval_nci_rq.sh stage)."""
+    import jax
+    import jax.numpy as jnp
+    from ..config import InferConfig
+    from ..data import io as dio
+    from ..data.tokenize import get_tokenizer, tokenize_queries
+    from ..eval.run_eval import Evaluator, write_result_files
+    from ..eval.searcher import build_fine_index
+    from ..models import convert
+    from ..models.nci import NCIDims, NCIT5
+    from ..models.t5 import T5Dims
+    from ..models.twin_tower import make_tower
+    from ..train.checkpoints import CheckpointManager
+
+    cfg = load_config(args.config)
+    m = cfg.model
+    dims = NCIDims(
+        t5=T5Dims(vocab_size=m.vocab_size, d_model=m.d_model,
+                  d_kv=m.d_kv, d_ff=m.d_ff, num_heads=m.num_heads,
+                  num_layers=m.num_layers,
+                  num_decoder_layers=m.num_decoder_layers,
+                  dropout_rate=0.0),
+        kary=m.kary, max_output_length=m.max_output_length,
+        adaptor_layer_num=m.adaptor_layer_num,
+        adaptor_num_heads=m.adaptor_num_heads)
+    model = NCIT5(dims)
+
+    # NCI params: orbax dir (ours) or torch lightning ckpt (reference)
+    if osp.isdir(args.nci_ckpt):
+        mgr = CheckpointManager(osp.dirname(args.nci_ckpt) or ".")
+        import orbax.checkpoint as ocp
+        params = ocp.StandardCheckpointer().restore(
+            osp.abspath(args.nci_ckpt))["params"]
+    else:
+        sd = convert.load_torch_state_dict(args.nci_ckpt)
+        sd = {k[len("model."):] if k.startswith("model.") else k: v
+              for k, v in sd.items()}
+        params = convert.convert_nci_checkpoint(
+            sd, m.num_layers, m.num_decoder_layers, m.adaptor_layer_num)
+
+    # fine index from embeddings + codes
+    emb = np.asarray(dio.open_embedding_memmap(args.embeddings,
+                                               cfg.rq.emb_size))
+    codes = np.load(args.codes)
+    fine = build_fine_index(codes, emb, cfg.rq.kary,
+                            dtype=np.dtype("bfloat16") if args.bf16
+                            else None)
+
+    # twin query tower
+    tower = make_tower(cfg.encoder.family)
+    tsd = convert.load_torch_state_dict(args.tower_ckpt)
+    if cfg.encoder.family == "t5":
+        tparams = convert.convert_t5_model(tsd, cfg.encoder.num_layers,
+                                           12)
+    else:
+        tparams = convert.convert_bert_model(tsd, cfg.encoder.num_layers)
+
+    @jax.jit
+    def rep_fn(ids, mask):
+        return tower.rep(tparams, ids, mask)
+
+    # dev queries
+    rows = dio.read_query_docids_tsv(args.dev_tsv)
+    queries = [q for q, _ in rows]
+    gts = [ids for _, ids in rows]
+    tok = get_tokenizer("ance" if cfg.encoder.family == "t5" else "ar2")
+    qids, qmask = tokenize_queries(queries, tok, args.query_length)
+
+    icfg = InferConfig(
+        num_return_sequences=args.num_return_sequences,
+        recall_level=args.recall_level,
+        recall_num=tuple(int(x) for x in args.recall_num.split(",")),
+        max_cluster_docs=args.max_cluster_docs)
+    ev = Evaluator(model, params, icfg, fine_index=fine,
+                   query_rep_fn=rep_fn, doc_codes=codes)
+    out = ev.evaluate(queries, qids, qmask, gts,
+                      batch_size=args.batch_size,
+                      keep_results=bool(args.save_path))
+    report = {"ndoc_per_query": out.ndoc_per_query}
+    if out.coarse:
+        report["coarse"] = out.coarse
+    if out.fine:
+        report["fine"] = out.fine
+    print(json.dumps(report, indent=1, default=float))
+    if args.save_path:
+        base = args.save_path.rsplit(".", 1)[0]
+        write_result_files(out, gts,
+                           coarse_path=base + "_coarse.tsv",
+                           fine_path=base + "_fine.tsv",
+                           hardneg_path=base + "_hn.tsv")
+
+
+# --------------------------------------------------------------------------
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="mevi_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("prepare")
+    sp.add_argument("--raw_dir", required=True)
+    sp.add_argument("--origin_dir", required=True)
+    sp.add_argument("--doc_aug", action="store_true")
+    sp.set_defaults(fn=cmd_prepare)
+
+    sp = sub.add_parser("tokenize")
+    sp.add_argument("--kind", choices=["corpus", "queries"],
+                    required=True)
+    sp.add_argument("--style", default="ance")
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--length", type=int, default=128)
+    sp.set_defaults(fn=cmd_tokenize)
+
+    sp = sub.add_parser("gen-embeddings")
+    sp.add_argument("--config", default=None)
+    sp.add_argument("--checkpoint", required=True)
+    sp.add_argument("--documents", required=True)
+    sp.add_argument("--doc_length", type=int, default=128)
+    sp.add_argument("--output", required=True)
+    sp.set_defaults(fn=cmd_gen_embeddings)
+
+    sp = sub.add_parser("build-index")
+    sp.add_argument("--config", default=None)
+    sp.add_argument("--embeddings", required=True)
+    sp.add_argument("--output_dir", required=True)
+    sp.add_argument("--cache_dir", default=None)
+    sp.add_argument("--seed", type=int, default=42)
+    sp.add_argument("--iters", type=int, default=25)
+    sp.set_defaults(fn=cmd_build_index)
+
+    sp = sub.add_parser("search")
+    sp.add_argument("--config", default=None)
+    sp.add_argument("--doc_embeddings", required=True)
+    sp.add_argument("--query_embeddings", required=True)
+    sp.add_argument("--queries_tsv", default=None)
+    sp.add_argument("--topk", type=int, default=1000)
+    sp.add_argument("--batch", type=int, default=256)
+    sp.add_argument("--bf16", action="store_true")
+    sp.add_argument("--output", default=None)
+    sp.set_defaults(fn=cmd_search)
+
+    sp = sub.add_parser("evaluate")
+    sp.add_argument("--gt_file", required=True)
+    sp.add_argument("--ranks_file", required=True)
+    sp.add_argument("--pred_col", type=int, default=-1)
+    sp.add_argument("--recall_num", default="1,5,10,20,50,100,1000")
+    sp.add_argument("--ofile", default=None)
+    sp.set_defaults(fn=cmd_evaluate)
+
+    sp = sub.add_parser("ensemble")
+    sp.add_argument("--gt_file", required=True)
+    sp.add_argument("--ance_file", required=True)
+    sp.add_argument("--coarse_file", required=True)
+    sp.add_argument("--fine_file", default=None)
+    sp.add_argument("--mapping_file", required=True)
+    sp.add_argument("--alphas", default="0.6")
+    sp.add_argument("--betas", default="0.03")
+    sp.add_argument("--gammas", default="0.02")
+    sp.add_argument("--recall_num", default="10,50,1000")
+    sp.add_argument("--ofile", default=None)
+    sp.set_defaults(fn=cmd_ensemble)
+
+    sp = sub.add_parser("train")
+    sp.add_argument("--config", default=None)
+    sp.add_argument("--queries", required=True,
+                    help="token memmap prefix")
+    sp.add_argument("--query_length", type=int, default=32)
+    sp.add_argument("--codes", required=True,
+                    help="rq_codes.npy (per doc)")
+    sp.add_argument("--train_tsv", default=None,
+                    help="query->docid tsv aligning rows to codes")
+    sp.add_argument("--log_dir", default=None)
+    sp.add_argument("--log_every", type=int, default=50)
+    sp.add_argument("--max_epochs", type=int, default=0)
+    sp.set_defaults(fn=cmd_train)
+
+    sp = sub.add_parser("eval")
+    sp.add_argument("--config", default=None)
+    sp.add_argument("--nci_ckpt", required=True)
+    sp.add_argument("--tower_ckpt", required=True)
+    sp.add_argument("--embeddings", required=True)
+    sp.add_argument("--codes", required=True)
+    sp.add_argument("--dev_tsv", required=True)
+    sp.add_argument("--query_length", type=int, default=32)
+    sp.add_argument("--num_return_sequences", type=int, default=10)
+    sp.add_argument("--recall_level", default="both")
+    sp.add_argument("--recall_num", default="1,5,10,20,50,100,1000")
+    sp.add_argument("--max_cluster_docs", type=int, default=4096)
+    sp.add_argument("--batch_size", type=int, default=16)
+    sp.add_argument("--bf16", action="store_true")
+    sp.add_argument("--save_path", default=None)
+    sp.set_defaults(fn=cmd_eval)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
