@@ -79,18 +79,20 @@ def main():
     dec_in = jnp.zeros((BATCH, M + 2), jnp.int32)
     log("init params...")
     t0 = time.time()
-    nci_params = nci.init(rng, ids, mask, dec_in)["params"]
-    q_params = qtower.init(rng, ids, mask,
-                           jnp.zeros((BATCH, 1), jnp.int32))["params"]
-    if on_tpu:
-        # inference-only: bf16 params halve the tunnel transfer
-        cast = lambda t: jax.tree.map(
+
+    def cast(t):
+        return jax.tree.map(
             lambda x: x.astype(compute_dtype)
             if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, t)
-        nci_params = cast(nci_params)
-        q_params = cast(q_params)
-    nci_params = jax.device_put(nci_params)
-    q_params = jax.device_put(q_params)
+
+    # init + cast in one jit: params are born on device in bf16 and never
+    # cross the host link
+    nci_params = jax.jit(
+        lambda k: cast(nci.init(k, ids, mask, dec_in)["params"]))(rng)
+    q_params = jax.jit(
+        lambda k: cast(qtower.init(
+            k, ids, mask, jnp.zeros((BATCH, 1), jnp.int32))["params"])
+    )(rng)
     jax.block_until_ready((nci_params, q_params))
     log(f"params ready: {time.time() - t0:.1f}s")
 
@@ -102,7 +104,7 @@ def main():
     t0 = time.time()
     fine = build_fine_index(doc_codes, emb, KARY,
                             dtype=np.dtype("bfloat16") if on_tpu
-                            else np.float32)
+                            else np.float32, pad_rows=CAP + 8)
     del emb
     log(f"index built: {time.time() - t0:.1f}s; transferring...")
     t0 = time.time()
@@ -110,7 +112,12 @@ def main():
     jax.block_until_ready(fine.sorted_emb)
     log(f"index on device: {time.time() - t0:.1f}s")
 
-    # ---- jitted pipeline stages -----------------------------------------
+    # ---- serving pipeline ------------------------------------------------
+    from mevi_tpu.serve import PallasServer
+
+    server = PallasServer(qtower, nci, q_params, nci_params, fine,
+                          num_beams=NBEAM, cap=CAP, pool=POOL)
+
     @jax.jit
     def encode_query(params, ids, mask):
         return qtower.apply({"params": params}, ids, mask,
@@ -120,14 +127,8 @@ def main():
         return nci_beam_search(nci, params, ids, mask, NBEAM,
                                length_penalty=0.8)
 
-    rerank = jax.jit(lambda q, beams, off, did, semb: fine_rerank(
-        q, beams, off, did, semb, KARY, CAP, POOL))
-
     def pipeline(ids, mask):
-        qemb = encode_query(q_params, ids, mask)
-        codes, scores, _, _ = coarse(nci_params, ids, mask)
-        s, i, nd = rerank(qemb.astype(fine.sorted_emb.dtype), codes,
-                          fine.offsets, fine.doc_ids, fine.sorted_emb)
+        s, i, _, _, _ = server.query(ids, mask)
         return s, i
 
     log("compiling qenc...")
@@ -155,12 +156,7 @@ def main():
 
     # stage split (informational)
     for name, fn in (("qenc", lambda: encode_query(q_params, ids, mask)),
-                     ("beam", lambda: coarse(nci_params, ids, mask)),
-                     ("fine", lambda: rerank(
-                         encode_query(q_params, ids, mask).astype(
-                             fine.sorted_emb.dtype),
-                         coarse(nci_params, ids, mask)[0],
-                         fine.offsets, fine.doc_ids, fine.sorted_emb))):
+                     ("beam", lambda: coarse(nci_params, ids, mask))):
         jax.block_until_ready(fn())
         t0 = time.time()
         for _ in range(iters):

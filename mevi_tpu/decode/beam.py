@@ -80,10 +80,8 @@ def nci_beam_search(
     beam_scores = jnp.full((B, nb), -1e9, jnp.float32).at[:, 0].set(0.0)
 
     def step_logits(tokens, t):
-        compact, dec_hidden = apply(
-            NCIT5.compact_logits, tokens, None, mem_mask_b, kvs_b)
-        row = jax.lax.dynamic_index_in_dim(compact, t, axis=1,
-                                           keepdims=False)
+        row, dec_hidden = apply(
+            NCIT5.compact_logits_at, tokens, t, None, mem_mask_b, kvs_b)
         return (jax.nn.log_softmax(row.astype(jnp.float32), axis=-1),
                 dec_hidden)
 

@@ -44,13 +44,23 @@ class FineIndex(NamedTuple):
 
 
 def build_fine_index(codes: np.ndarray, emb: np.ndarray,
-                     kary: int, dtype=None) -> FineIndex:
-    """Build the serving layout from per-doc codes + embeddings."""
+                     kary: int, dtype=None,
+                     pad_rows: int = 0) -> FineIndex:
+    """Build the serving layout from per-doc codes + embeddings.
+
+    ``pad_rows``: extra zero rows appended host-side (the Pallas bucket
+    kernel needs >= cap rows of slack past the last real row; padding on
+    host avoids a device-side copy of the whole matrix).
+    """
     from ..index.csr import build_csr
     offsets, doc_ids = build_csr(codes, kary)
     sorted_emb = np.ascontiguousarray(emb[doc_ids])
     if dtype is not None:
         sorted_emb = sorted_emb.astype(dtype)
+    if pad_rows:
+        sorted_emb = np.concatenate(
+            [sorted_emb, np.zeros((pad_rows, sorted_emb.shape[1]),
+                                  sorted_emb.dtype)], axis=0)
     return FineIndex(jnp.asarray(offsets), jnp.asarray(doc_ids),
                      jnp.asarray(sorted_emb), codes.shape[-1], kary)
 
@@ -150,6 +160,48 @@ def sharded_fine_rerank(query_emb, beam_codes, index: FineIndex,
         check_vma=False)
     return fn(query_emb, beam_codes, index.offsets, index.doc_ids,
               index.sorted_emb)
+
+
+# --------------------------------------------------------------------------
+# Pallas serving path (TPU): bucket DMA kernel + host index arithmetic
+# --------------------------------------------------------------------------
+
+def bucket_scores_dispatch(sorted_emb, starts_aligned, query_emb,
+                           cap: int) -> jnp.ndarray:
+    """Raw bucket scores.  On TPU this MUST stay its own dispatch: an XLA
+    program mixing the Mosaic custom-call with other HLO runs ~500x
+    slower on the serving path (measured), while back-to-back dispatches
+    are ~free."""
+    from ..ops.bucket import bucket_scores, bucket_scores_reference
+    if jax.default_backend() == "cpu":  # tests / dryrun
+        return bucket_scores_reference(sorted_emb, starts_aligned,
+                                       query_emb, cap)
+    return bucket_scores(sorted_emb, starts_aligned, query_emb, cap)
+
+
+@partial(jax.jit, static_argnames=("cap", "pool", "nq", "per_query"))
+def mask_pool_topk(scores: jnp.ndarray, starts_aligned: jnp.ndarray,
+                   bucket_start: jnp.ndarray, bucket_end: jnp.ndarray,
+                   cap: int, pool: int, nq: int, per_query: int,
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Mask kernel scores to true bucket bounds and pool per-query top-k.
+
+    Slot j of bucket g holds CSR row ``starts_aligned[g] + j``; valid iff
+    that row lies in [bucket_start, bucket_end).  The first
+    ``nq * per_query`` bucket rows are real (the rest is kernel padding).
+    Returns (top scores (nq, pool), top CSR rows (nq, pool), -1 invalid).
+    """
+    pos = jnp.arange(cap, dtype=jnp.int32)
+    rows = starts_aligned[:, None] + pos
+    ok = (rows >= bucket_start[:, None]) & (rows < bucket_end[:, None])
+    g_real = nq * per_query
+    sc = jnp.where(ok, scores, NEG_INF)[:g_real].reshape(nq, -1)
+    rw = jnp.where(ok, rows, -1)[:g_real].reshape(nq, -1)
+    k = min(pool, sc.shape[-1])
+    top_scores, posn = jax.lax.top_k(sc, k)
+    top_rows = jnp.take_along_axis(rw, posn, axis=-1)
+    top_rows = jnp.where(top_scores <= NEG_INF / 2, -1, top_rows)
+    return top_scores, top_rows
 
 
 # --------------------------------------------------------------------------

@@ -227,6 +227,52 @@ class NCIT5(nn.Module):
         pos_mask = jnp.zeros((L, K + 1)).at[L - 1].set(last)
         return logits + pos_mask[None], dec_hidden
 
+    def compact_logits_at(self, decoder_input_ids, t, memory,
+                          memory_mask=None, cross_kvs=None,
+                          deterministic=True,
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Compact logits for a single position ``t`` (traced scalar).
+
+        The decode-loop hot path: the PAWA weight-delta einsum and the
+        head slice run for ONE position instead of all L — in the beam
+        search only step t's logits are consumed, and the PAWA delta is
+        the dominant FLOP term (d_model^2 x (kary+1) per position).
+        Returns (logits (b, kary+1), dec_hidden (b, L, d)).
+        """
+        d = self.dims
+        K = d.kary
+        L = decoder_input_ids.shape[1]
+        dec_embeds = self.decode_embeddings(decoder_input_ids)
+        dec_hidden = self.decoder(
+            dec_embeds, self_mask=causal_mask(L),
+            enc_hidden=memory, enc_mask=extend_mask(memory_mask),
+            cross_kvs=cross_kvs, deterministic=deterministic)
+        seq_t = jax.lax.dynamic_index_in_dim(
+            dec_hidden, t, axis=1, keepdims=False) * (d.t5.d_model ** -0.5)
+
+        W = self._head_matrix()
+        rows = jax.lax.dynamic_slice_in_dim(W, 2 + t * K, K, 0)  # (K, d)
+        base = jnp.einsum("bd,kd->bk", seq_t, rows)
+        base_eos = seq_t @ W[1]
+
+        if d.use_pawa:
+            h_a = self.pawa(dec_embeds, deterministic=deterministic)
+            h_t = jax.lax.dynamic_index_in_dim(h_a, t, axis=1,
+                                               keepdims=False)
+            A = self._adaptor_tensor()                 # (d_in, d, V)
+            A_t = jax.lax.dynamic_slice_in_dim(A, 2 + t * K, K, 2)
+            base = base + jnp.einsum("bi,idk,bd->bk", h_t, A_t, seq_t)
+            base_eos = base_eos + jnp.einsum("bi,id,bd->b", h_t,
+                                             A[:, :, 1], seq_t)
+
+        logits = jnp.concatenate([base, base_eos[:, None]], axis=-1)
+        # final position only allows EOS
+        last = jnp.where(jnp.equal(t, L - 1),
+                         jnp.concatenate([jnp.full((K,), NEG),
+                                          jnp.zeros((1,))]),
+                         jnp.zeros((K + 1,)))
+        return logits + last[None], dec_hidden
+
     def __call__(self, input_ids, attention_mask, decoder_input_ids,
                  deterministic=True):
         """Returns (compact_logits, enc_hidden, dec_hidden, ori_hidden)."""

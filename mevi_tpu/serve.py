@@ -1,0 +1,223 @@
+"""Fused serving pipeline: one jit program per query batch.
+
+The reference serves a query through several python stages (encoder
+forward, per-step beam python loop, per-beam host dict lookups, memmap
+chunk streaming — ``main_models.py:3555-4020``).  Here the entire path
+
+    query tokens -> twin-tower embedding
+                 -> NCI constrained beam (coarse clusters)
+                 -> CSR bucket gather + in-cluster MIPS (fine)
+                 -> merged top-k doc ids
+
+is a single XLA program: one dispatch per batch, no host round-trips.
+A multi-chip variant shards queries over the ``data`` axis and the
+cluster-sorted corpus over ``corpus``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from .decode.beam import nci_beam_search
+from .eval.searcher import FineIndex, _beam_scores
+from .models.nci import NCIT5
+from .models.t5 import T5Model
+from .models.twin_tower import Tower
+from .ops.topk import NEG_INF
+from .parallel.mesh import CORPUS_AXIS, DATA_AXIS
+
+
+@partial(jax.jit, static_argnames=("qtower", "nci", "num_beams", "cap",
+                                   "pool", "length_penalty"))
+def serve_batch(
+    qtower: T5Model,
+    nci: NCIT5,
+    q_params,
+    nci_params,
+    query_ids: jnp.ndarray,
+    query_mask: jnp.ndarray,
+    offsets: jnp.ndarray,
+    doc_ids: jnp.ndarray,
+    sorted_emb: jnp.ndarray,
+    num_beams: int = 10,
+    cap: int = 512,
+    pool: int = 1000,
+    length_penalty: float = 0.8,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Returns (doc scores (b, pool), doc ids (b, pool),
+    beam codes (b, nb, M), beam scores (b, nb))."""
+    kary = nci.dims.kary
+    qemb = qtower.apply({"params": q_params}, query_ids, query_mask,
+                        method=T5Model.first_token_rep)
+    codes, beam_scores, _, _ = nci_beam_search(
+        nci, nci_params, query_ids, query_mask, num_beams,
+        length_penalty)
+    scores, ids, sizes = _beam_scores(
+        qemb.astype(sorted_emb.dtype), codes, offsets, doc_ids,
+        sorted_emb, kary, cap)
+    k = min(pool, scores.shape[-1])
+    top_scores, pos = jax.lax.top_k(scores, k)
+    top_ids = jnp.take_along_axis(ids, pos, axis=-1)
+    top_ids = jnp.where(top_scores <= NEG_INF / 2, -1, top_ids)
+    return top_scores, top_ids, codes, beam_scores
+
+
+class PallasServer:
+    """Two-dispatch TPU server: fused (qenc + beam) -> tiny host hop for
+    the CSR offset arithmetic -> Pallas bucket re-rank + pool top-k.
+
+    Rationale: on TPU, table gathers (``offsets[cidx]``,
+    ``doc_ids[rows]``) carry a large fixed cost, while the beam codes are
+    a few KB — so the index arithmetic runs on host numpy between two
+    device dispatches, and cluster members are DMA'd by the bucket
+    kernel (see ``ops/bucket.py``).
+    """
+
+    def __init__(self, qtower, nci, q_params, nci_params,
+                 index: FineIndex, num_beams: int = 10, cap: int = 512,
+                 pool: int = 1000, length_penalty: float = 0.8):
+        import numpy as np
+        from .eval.searcher import bucket_scores_dispatch, mask_pool_topk
+        from .ops.bucket import ALIGN, ROWS, align_down
+        self.qtower, self.nci = qtower, nci
+        self.q_params, self.nci_params = q_params, nci_params
+        self.num_beams, self.cap, self.pool = num_beams, cap, pool
+        self.length_penalty = length_penalty
+        self.kary = nci.dims.kary
+        import sys
+        import time as _time
+        _t0 = _time.time()
+        # host copies of the tiny CSR arrays
+        self.offsets_h = np.asarray(index.offsets).astype(np.int64)
+        self.doc_ids_h = np.asarray(index.doc_ids)
+        print(f"[serve] csr host copies: {_time.time() - _t0:.1f}s",
+              file=sys.stderr, flush=True)
+        # slack so aligned cap-row slices starting at any bucket stay in
+        # bounds; prefer host-side padding (build_fine_index(pad_rows=...))
+        # — device concat copies the whole matrix
+        n = index.sorted_emb.shape[0]
+        need = int(self.offsets_h[-1]) + cap
+        if n < need:
+            pad = need - n
+            semb = jnp.concatenate(
+                [index.sorted_emb,
+                 jnp.zeros((pad, index.sorted_emb.shape[1]),
+                           index.sorted_emb.dtype)], axis=0)
+        else:
+            semb = index.sorted_emb
+        self.sorted_emb = semb
+        self._align_down = align_down
+        self._rows = ROWS
+        self._scores = bucket_scores_dispatch
+        self._mask_pool = mask_pool_topk
+
+        @partial(jax.jit, static_argnames=())
+        def _coarse(q_params, nci_params, ids, mask):
+            qemb = qtower.apply({"params": q_params}, ids, mask,
+                                method=T5Model.first_token_rep)
+            codes, scores, _, _ = nci_beam_search(
+                nci, nci_params, ids, mask, num_beams, length_penalty)
+            return qemb, codes, scores
+        self._coarse = _coarse
+
+    def query(self, query_ids, query_mask):
+        """Returns (doc scores (B, pool), original doc ids (B, pool),
+        beam codes (B, nb, M), beam scores (B, nb), ndoc (B,))."""
+        import numpy as np
+        from .index.csr import pack_codes
+        B = query_ids.shape[0]
+        nb, cap = self.num_beams, self.cap
+        qemb, codes, beam_scores = self._coarse(
+            self.q_params, self.nci_params, query_ids, query_mask)
+        codes_h = np.asarray(codes)                     # tiny fetch
+        cidx = pack_codes(codes_h.reshape(-1, codes_h.shape[-1]),
+                          self.kary).astype(np.int64)
+        b_start = self.offsets_h[cidx].astype(np.int32)
+        b_end = self.offsets_h[cidx + 1].astype(np.int32)
+        starts_al = self._align_down(b_start).astype(np.int32)
+        ndoc = (b_end - b_start).reshape(B, nb).sum(-1)
+
+        G = B * nb
+        pad_g = (-G) % self._rows
+        if pad_g:
+            z = np.zeros(pad_g, np.int32)
+            starts_al = np.concatenate([starts_al, z])
+            b_start = np.concatenate([b_start, z])
+            b_end = np.concatenate([b_end, z])
+        q_rep = jnp.repeat(qemb.astype(self.sorted_emb.dtype), nb, axis=0)
+        if pad_g:
+            q_rep = jnp.concatenate(
+                [q_rep, jnp.zeros((pad_g, q_rep.shape[1]),
+                                  q_rep.dtype)], axis=0)
+        starts_d = jnp.asarray(starts_al)
+        # dispatch 2: Pallas bucket kernel alone (keep it out of any
+        # fused program — see bucket_scores_dispatch)
+        scores = self._scores(self.sorted_emb, starts_d, q_rep, cap)
+        # dispatch 3: mask + per-query pool top-k
+        top_scores, top_rows = self._mask_pool(
+            scores, starts_d, jnp.asarray(b_start), jnp.asarray(b_end),
+            cap, self.pool, B, nb)
+        top_rows_h = np.asarray(top_rows)
+        top_ids = np.where(top_rows_h >= 0,
+                           self.doc_ids_h[np.clip(top_rows_h, 0, None)],
+                           -1)
+        return (np.asarray(top_scores), top_ids, codes_h,
+                np.asarray(beam_scores), ndoc)
+
+
+def make_sharded_server(qtower, nci, mesh: Mesh, num_beams: int = 10,
+                        cap: int = 512, pool: int = 1000,
+                        length_penalty: float = 0.8):
+    """Multi-chip server: queries sharded over data, corpus over corpus.
+
+    Returns serve(q_params, nci_params, query_ids, query_mask, index) —
+    params replicated, ``index.sorted_emb`` row-sharded P(corpus, None).
+    """
+    kary = nci.dims.kary
+
+    def local(q_params, nci_params, query_ids, query_mask, offsets,
+              doc_ids, emb_shard):
+        n_corpus = mesh.shape[CORPUS_AXIS]
+        rows_per = emb_shard.shape[0]  # local shard rows
+        qemb = qtower.apply({"params": q_params}, query_ids, query_mask,
+                            method=T5Model.first_token_rep)
+        codes, beam_scores, _, _ = nci_beam_search(
+            nci, nci_params, query_ids, query_mask, num_beams,
+            length_penalty)
+        shard = jax.lax.axis_index(CORPUS_AXIS)
+        scores, ids, _ = _beam_scores(
+            qemb.astype(emb_shard.dtype), codes, offsets, doc_ids,
+            emb_shard, kary, cap, row_offset=shard * rows_per)
+        k = min(pool, scores.shape[-1])
+        loc_scores, pos = jax.lax.top_k(scores, k)
+        loc_ids = jnp.take_along_axis(ids, pos, axis=-1)
+        all_scores = jax.lax.all_gather(loc_scores, CORPUS_AXIS)
+        all_ids = jax.lax.all_gather(loc_ids, CORPUS_AXIS)
+        b = loc_scores.shape[0]
+        all_scores = jnp.moveaxis(all_scores, 0, 1).reshape(b, -1)
+        all_ids = jnp.moveaxis(all_ids, 0, 1).reshape(b, -1)
+        top_scores, pos2 = jax.lax.top_k(all_scores, k)
+        top_ids = jnp.take_along_axis(all_ids, pos2, axis=-1)
+        top_ids = jnp.where(top_scores <= NEG_INF / 2, -1, top_ids)
+        return top_scores, top_ids, codes, beam_scores
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P(DATA_AXIS, None), P(DATA_AXIS, None),
+                  P(), P(), P(CORPUS_AXIS, None)),
+        out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None),
+                   P(DATA_AXIS, None, None), P(DATA_AXIS, None)),
+        check_vma=False)
+
+    @jax.jit
+    def serve(q_params, nci_params, query_ids, query_mask, offsets,
+              doc_ids, sorted_emb):
+        return fn(q_params, nci_params, query_ids, query_mask, offsets,
+                  doc_ids, sorted_emb)
+
+    return serve
