@@ -250,6 +250,64 @@ def cmd_ensemble(args):
             fw.write("\n".join(lines) + "\n")
 
 
+def cmd_doc2query(args):
+    """Generate pseudo-queries per passage (docT5query QG,
+    ``dataprocess/msmarco_passage/doc2query.py``)."""
+    import jax
+    import jax.numpy as jnp
+    from ..data.tokenize import get_tokenizer
+    from ..decode.generate import generate
+    from ..models import convert
+    from ..models.t5 import T5Dims, T5Model
+
+    tok = get_tokenizer("ance")  # t5 tokenizer
+    sd = convert.load_torch_state_dict(args.checkpoint)
+    params = convert.convert_t5_model(sd, args.num_layers,
+                                      args.num_layers)
+    model = T5Model(T5Dims(num_layers=args.num_layers,
+                           num_decoder_layers=args.num_layers,
+                           dropout_rate=0.0))
+    key = jax.random.PRNGKey(args.seed)
+    bs = args.batch
+    with open(args.corpus, encoding="utf-8") as fr, \
+            open(args.output, "w", encoding="utf-8") as fw:
+        batch_texts, batch_dids = [], []
+
+        def flush():
+            nonlocal key, batch_texts, batch_dids
+            if not batch_texts:
+                return
+            while len(batch_texts) < bs:   # static shapes
+                batch_texts.append("")
+                batch_dids.append(None)
+            enc = tok(batch_texts, max_length=args.doc_max_len,
+                      truncation=True, padding="max_length",
+                      return_tensors="np")
+            key, sub = jax.random.split(key)
+            out = generate(model, params,
+                           jnp.asarray(enc["input_ids"], jnp.int32),
+                           jnp.asarray(enc["attention_mask"], jnp.int32),
+                           sub, max_length=args.query_max_len,
+                           num_return_sequences=args.n_gen_query,
+                           do_sample=True)
+            texts = tok.batch_decode(np.asarray(out),
+                                     skip_special_tokens=True)
+            for i, text in enumerate(texts):
+                did = batch_dids[i // args.n_gen_query]
+                if did is not None:
+                    fw.write(f"{text}\t{did}\n")
+            batch_texts, batch_dids = [], []
+
+        for line in fr:
+            did, title, content = (line.rstrip("\n").split("\t")
+                                   + ["", ""])[:3]
+            batch_texts.append(content)
+            batch_dids.append(int(did))
+            if len(batch_texts) == bs:
+                flush()
+        flush()
+
+
 def cmd_train(args):
     import jax
     import jax.numpy as jnp
@@ -487,6 +545,19 @@ def build_parser():
     sp.add_argument("--recall_num", default="10,50,1000")
     sp.add_argument("--ofile", default=None)
     sp.set_defaults(fn=cmd_ensemble)
+
+    sp = sub.add_parser("doc2query")
+    sp.add_argument("--checkpoint", required=True,
+                    help="docT5query torch ckpt / state dict")
+    sp.add_argument("--corpus", required=True)
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--n_gen_query", type=int, default=10)
+    sp.add_argument("--doc_max_len", type=int, default=512)
+    sp.add_argument("--query_max_len", type=int, default=64)
+    sp.add_argument("--num_layers", type=int, default=12)
+    sp.add_argument("--batch", type=int, default=32)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.set_defaults(fn=cmd_doc2query)
 
     sp = sub.add_parser("train")
     sp.add_argument("--config", default=None)

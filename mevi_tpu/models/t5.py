@@ -258,6 +258,63 @@ class T5Stack(nn.Module):
         assert self.is_decoder
         return [b.cross_attn.project_kv(enc_hidden) for b in self.blocks]
 
+    # -- incremental decoding (self-attn KV cache) ------------------------
+
+    def init_cache(self, batch: int, max_len: int, dtype=None):
+        """Per-layer (k, v) caches of shape (b, h, max_len, d_kv)."""
+        d = self.dims
+        dtype = dtype or d.dtype
+        shape = (batch, d.num_heads, max_len, d.d_kv)
+        return [(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+                for _ in range(self.num_layers)]
+
+    def decode_step(self, embed_t, t, cache, cross_kvs, enc_mask):
+        """One decode step with KV caching.
+
+        Args:
+          embed_t: (b, 1, d) current-token embedding.
+          t: traced step index.
+          cache: list of per-layer (k, v) (b, h, max_len, d_kv).
+          cross_kvs: precomputed cross-attn (k, v) per layer.
+          enc_mask: additive (b, 1, 1, enc_len) or None.
+        Returns:
+          (hidden_t (b, 1, d), new_cache).
+        """
+        assert self.is_decoder
+        d = self.dims
+        max_len = cache[0][0].shape[2]
+        pos = jnp.arange(max_len)
+        causal = jnp.where(pos[None, None, None, :] <= t, 0.0,
+                           -1e9).astype(jnp.float32)
+        hidden = embed_t
+        new_cache = []
+        position_bias = None
+        for i, block in enumerate(self.blocks):
+            attn = block.self_attn
+            x = block.self_norm(hidden)
+            q = attn._split(attn.q(x))                 # (b, h, 1, dk)
+            k_t = attn._split(attn.k(x))
+            v_t = attn._split(attn.v(x))
+            ck, cv = cache[i]
+            ck = jax.lax.dynamic_update_slice_in_dim(ck, k_t, t, axis=2)
+            cv = jax.lax.dynamic_update_slice_in_dim(cv, v_t, t, axis=2)
+            new_cache.append((ck, cv))
+            if i == 0:
+                # decoder rel-pos bias row for query position t
+                buckets = relative_position_bucket(
+                    pos[None, :] - t, False,
+                    d.relative_attention_num_buckets,
+                    d.relative_attention_max_distance)
+                bias = attn.relative_attention_bias(buckets[0])  # (L, h)
+                position_bias = jnp.transpose(bias)[None, :, None, :]
+            y = attn.attend(q, ck, cv, position_bias, causal)
+            hidden = hidden + attn.o(y)
+            y, _ = block.cross_attn(block.cross_norm(hidden),
+                                    mask=enc_mask, kv_cache=cross_kvs[i])
+            hidden = hidden + y
+            hidden = hidden + block.ff(block.ff_norm(hidden))
+        return self.final_norm(hidden), new_cache
+
 
 class T5EncoderModel(nn.Module):
     """Shared-embedding encoder (query/passage tower front end)."""
