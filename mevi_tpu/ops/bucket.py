@@ -86,6 +86,142 @@ def bucket_scores(semb: jnp.ndarray, starts: jnp.ndarray,
     )(starts, qemb, semb)
 
 
+# ---------------------------------------------------------------------------
+# fused variant: CSR offsets lookup inside the kernel
+# ---------------------------------------------------------------------------
+
+def _fused_kernel(cidx_ref, q_ref, off_ref, semb_ref, out_ref, row_ref,
+                  emb_buf, off_buf, sems, off_sems, *, cap: int,
+                  neg: float):
+    g = pl.program_id(0)
+
+    # 1) DMA the offsets rows covering cidx and cidx+1 for each bucket
+    for r in range(ROWS):
+        ci = cidx_ref[g * ROWS + r]
+        row = ci // 128
+        arow = pl.multiple_of((row // ALIGN) * ALIGN, ALIGN)
+        pltpu.make_async_copy(off_ref.at[pl.ds(arow, 2 * ALIGN), :],
+                              off_buf.at[r], off_sems.at[r]).start()
+    for r in range(ROWS):
+        ci = cidx_ref[g * ROWS + r]
+        row = ci // 128
+        arow = pl.multiple_of((row // ALIGN) * ALIGN, ALIGN)
+        pltpu.make_async_copy(off_ref.at[pl.ds(arow, 2 * ALIGN), :],
+                              off_buf.at[r], off_sems.at[r]).wait()
+
+    # 2) read bucket bounds, start the embedding DMAs
+    starts = []
+    ends = []
+    for r in range(ROWS):
+        ci = cidx_ref[g * ROWS + r]
+        row = ci // 128
+        col = jax.lax.rem(ci, 128)
+        sub = row - (row // ALIGN) * ALIGN
+        s = off_buf[r, sub, col]
+        nxt = ci + 1
+        row2 = nxt // 128
+        col2 = jax.lax.rem(nxt, 128)
+        sub2 = row2 - (row // ALIGN) * ALIGN   # same aligned base
+        e = off_buf[r, sub2, col2]
+        starts.append(s)
+        ends.append(e)
+        al = pl.multiple_of((s // ALIGN) * ALIGN, ALIGN)
+        pltpu.make_async_copy(semb_ref.at[pl.ds(al, cap), :],
+                              emb_buf.at[r], sems.at[r]).start()
+
+    # 3) score + mask per bucket as its DMA lands
+    slot = jax.lax.broadcasted_iota(jnp.int32, (1, cap), 1)
+    for r in range(ROWS):
+        s, e = starts[r], ends[r]
+        al = pl.multiple_of((s // ALIGN) * ALIGN, ALIGN)
+        pltpu.make_async_copy(semb_ref.at[pl.ds(al, cap), :],
+                              emb_buf.at[r], sems.at[r]).wait()
+        q = q_ref[r, :].astype(jnp.float32)
+        block = emb_buf[r].astype(jnp.float32)          # (cap, d)
+        sc = jnp.sum(block * q[None, :], axis=-1)[None, :]
+        rows = al + slot                                 # (1, cap)
+        ok = (rows >= s) & (rows < e)
+        out_ref[r, :] = jnp.where(ok, sc, neg)[0]
+        row_ref[r, :] = jnp.where(ok, rows, -1)[0]
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def bucket_scores_fused(semb: jnp.ndarray, offsets2d: jnp.ndarray,
+                        cidx: jnp.ndarray, qemb: jnp.ndarray, cap: int):
+    """Bucket scoring with the CSR offsets lookup fused into the kernel.
+
+    Args:
+      semb: (N, d) cluster-sorted embeddings, N % 8 == 0, >= cap slack.
+      offsets2d: CSR offsets reshaped (rows, 128) int32, rows % 16 == 0,
+        padded with the last offset value.
+      cidx: (G,) int32 packed cluster indices (G % 8 == 0).
+      qemb: (G, d) per-bucket query rows.
+    Returns:
+      (scores (G, cap) f32 masked to bucket bounds,
+       rows (G, cap) int32 CSR row ids, -1 where invalid).
+    """
+    G, d = qemb.shape
+    assert G % ROWS == 0
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(G // ROWS,),
+        in_specs=[
+            pl.BlockSpec((ROWS, d), lambda g, s: (g, 0),
+                         memory_space=pltpu.VMEM),      # qemb rows
+            pl.BlockSpec(memory_space=pltpu.ANY),       # offsets2d
+            pl.BlockSpec(memory_space=pltpu.ANY),       # semb
+        ],
+        out_specs=[
+            pl.BlockSpec((ROWS, cap), lambda g, s: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROWS, cap), lambda g, s: (g, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((ROWS, cap, d), semb.dtype),
+            pltpu.VMEM((ROWS, 2 * ALIGN, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA((ROWS,)),
+            pltpu.SemaphoreType.DMA((ROWS,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_fused_kernel, cap=cap, neg=-1e30),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((G, cap), jnp.float32),
+            jax.ShapeDtypeStruct((G, cap), jnp.int32),
+        ],
+    )(cidx, qemb, offsets2d, semb)
+
+
+def pack_offsets_2d(offsets: "np.ndarray"):
+    """CSR offsets (C+1,) -> (rows, 128) int32 padded for the fused
+    kernel (rows a multiple of 16, padding = last offset)."""
+    import numpy as np
+    off = np.asarray(offsets, np.int32)
+    rows = -(-len(off) // 128)
+    rows = ((rows + 2 * ALIGN - 1) // (2 * ALIGN)) * (2 * ALIGN)
+    out = np.full((rows * 128,), off[-1], np.int32)
+    out[:len(off)] = off
+    return out.reshape(rows, 128)
+
+
+def bucket_scores_fused_reference(semb, offsets2d, cidx, qemb, cap):
+    """XLA oracle for the fused kernel (CPU tests)."""
+    off = offsets2d.reshape(-1)
+    starts = off[cidx]
+    ends = off[cidx + 1]
+    al = (starts // ALIGN) * ALIGN
+    pos = jnp.arange(cap, dtype=jnp.int32)
+    rows = al[:, None] + pos
+    ok = (rows >= starts[:, None]) & (rows < ends[:, None])
+    block = semb[jnp.clip(rows, 0, semb.shape[0] - 1)]
+    sc = jnp.einsum("gd,gcd->gc", qemb.astype(jnp.float32),
+                    block.astype(jnp.float32))
+    return (jnp.where(ok, sc, -1e30),
+            jnp.where(ok, rows, -1))
+
+
 def bucket_scores_reference(semb, starts, qemb, cap) -> jnp.ndarray:
     """XLA fallback (gather-based) with identical semantics — used on CPU
     and as the kernel's test oracle."""

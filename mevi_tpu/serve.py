@@ -82,26 +82,27 @@ class PallasServer:
                  index: FineIndex, num_beams: int = 10, cap: int = 512,
                  pool: int = 1000, length_penalty: float = 0.8):
         import numpy as np
-        from .eval.searcher import bucket_scores_dispatch, mask_pool_topk
-        from .ops.bucket import ALIGN, ROWS, align_down
+        from .index.csr import pack_codes
+        from .ops.bucket import (ROWS, bucket_scores_fused,
+                                 bucket_scores_fused_reference,
+                                 pack_offsets_2d)
         self.qtower, self.nci = qtower, nci
         self.q_params, self.nci_params = q_params, nci_params
         self.num_beams, self.cap, self.pool = num_beams, cap, pool
         self.length_penalty = length_penalty
         self.kary = nci.dims.kary
-        import sys
-        import time as _time
-        _t0 = _time.time()
-        # host copies of the tiny CSR arrays
+        kary = self.kary
+        # host copies for doc-id mapping / ndoc (final results come to
+        # host anyway; keeps big-table gathers off the device)
         self.offsets_h = np.asarray(index.offsets).astype(np.int64)
         self.doc_ids_h = np.asarray(index.doc_ids)
-        print(f"[serve] csr host copies: {_time.time() - _t0:.1f}s",
-              file=sys.stderr, flush=True)
+        self.offsets2d = jnp.asarray(pack_offsets_2d(self.offsets_h))
         # slack so aligned cap-row slices starting at any bucket stay in
         # bounds; prefer host-side padding (build_fine_index(pad_rows=...))
         # — device concat copies the whole matrix
         n = index.sorted_emb.shape[0]
         need = int(self.offsets_h[-1]) + cap
+        need += (-need) % 8
         if n < need:
             pad = need - n
             semb = jnp.concatenate(
@@ -111,61 +112,73 @@ class PallasServer:
         else:
             semb = index.sorted_emb
         self.sorted_emb = semb
-        self._align_down = align_down
-        self._rows = ROWS
-        self._scores = bucket_scores_dispatch
-        self._mask_pool = mask_pool_topk
+        on_cpu = jax.default_backend() == "cpu"
+        self._bucket = (bucket_scores_fused_reference if on_cpu
+                        else bucket_scores_fused)
+        G = None  # static per (B, nb)
 
-        @partial(jax.jit, static_argnames=())
+        @jax.jit
         def _coarse(q_params, nci_params, ids, mask):
             qemb = qtower.apply({"params": q_params}, ids, mask,
                                 method=T5Model.first_token_rep)
             codes, scores, _, _ = nci_beam_search(
                 nci, nci_params, ids, mask, num_beams, length_penalty)
-            return qemb, codes, scores
+            flat = codes.reshape(-1, codes.shape[-1])
+            cidx = pack_codes(flat, kary)
+            pad_g = (-cidx.shape[0]) % ROWS
+            if pad_g:
+                cidx = jnp.concatenate(
+                    [cidx, jnp.zeros(pad_g, cidx.dtype)])
+            q_rep = jnp.repeat(qemb.astype(semb.dtype), num_beams,
+                               axis=0)
+            if pad_g:
+                q_rep = jnp.concatenate(
+                    [q_rep, jnp.zeros((pad_g, q_rep.shape[1]),
+                                      q_rep.dtype)], axis=0)
+            return qemb, codes, scores, cidx, q_rep
         self._coarse = _coarse
+
+        @partial(jax.jit, static_argnames=("nq", "per_query"))
+        def _pool(scores, rows, nq, per_query):
+            g_real = nq * per_query
+            sc = scores[:g_real].reshape(nq, -1)
+            rw = rows[:g_real].reshape(nq, -1)
+            k = min(pool, sc.shape[-1])
+            ts, pp = jax.lax.top_k(sc, k)
+            tr = jnp.take_along_axis(rw, pp, axis=-1)
+            return ts, jnp.where(ts <= -1e29, -1, tr)
+        self._pool = _pool
 
     def query(self, query_ids, query_mask):
         """Returns (doc scores (B, pool), original doc ids (B, pool),
-        beam codes (B, nb, M), beam scores (B, nb), ndoc (B,))."""
+        beam codes (B, nb, M), beam scores (B, nb), ndoc (B,)).
+
+        Three device dispatches, zero mid-pipeline host hops: the CSR
+        offsets lookup rides a DMA inside the bucket kernel.
+        """
         import numpy as np
-        from .index.csr import pack_codes
         B = query_ids.shape[0]
         nb, cap = self.num_beams, self.cap
-        qemb, codes, beam_scores = self._coarse(
+        # dispatch 1: qenc + beam + cidx/q_rep prep
+        qemb, codes, beam_scores, cidx, q_rep = self._coarse(
             self.q_params, self.nci_params, query_ids, query_mask)
-        codes_h = np.asarray(codes)                     # tiny fetch
-        cidx = pack_codes(codes_h.reshape(-1, codes_h.shape[-1]),
-                          self.kary).astype(np.int64)
-        b_start = self.offsets_h[cidx].astype(np.int32)
-        b_end = self.offsets_h[cidx + 1].astype(np.int32)
-        starts_al = self._align_down(b_start).astype(np.int32)
-        ndoc = (b_end - b_start).reshape(B, nb).sum(-1)
-
-        G = B * nb
-        pad_g = (-G) % self._rows
-        if pad_g:
-            z = np.zeros(pad_g, np.int32)
-            starts_al = np.concatenate([starts_al, z])
-            b_start = np.concatenate([b_start, z])
-            b_end = np.concatenate([b_end, z])
-        q_rep = jnp.repeat(qemb.astype(self.sorted_emb.dtype), nb, axis=0)
-        if pad_g:
-            q_rep = jnp.concatenate(
-                [q_rep, jnp.zeros((pad_g, q_rep.shape[1]),
-                                  q_rep.dtype)], axis=0)
-        starts_d = jnp.asarray(starts_al)
-        # dispatch 2: Pallas bucket kernel alone (keep it out of any
-        # fused program — see bucket_scores_dispatch)
-        scores = self._scores(self.sorted_emb, starts_d, q_rep, cap)
-        # dispatch 3: mask + per-query pool top-k
-        top_scores, top_rows = self._mask_pool(
-            scores, starts_d, jnp.asarray(b_start), jnp.asarray(b_end),
-            cap, self.pool, B, nb)
+        # dispatch 2: fused bucket kernel (own program — mixing the
+        # Mosaic custom call into a larger XLA program degrades it)
+        scores, rows = self._bucket(self.sorted_emb, self.offsets2d,
+                                    cidx, q_rep, cap)
+        # dispatch 3: per-query pool top-k
+        top_scores, top_rows = self._pool(scores, rows, B, nb)
+        # single host round-trip for results
         top_rows_h = np.asarray(top_rows)
+        codes_h = np.asarray(codes)
         top_ids = np.where(top_rows_h >= 0,
                            self.doc_ids_h[np.clip(top_rows_h, 0, None)],
-                           -1)
+                           -1).astype(np.int32)
+        from .index.csr import pack_codes
+        ci = pack_codes(codes_h.reshape(-1, codes_h.shape[-1]),
+                        self.kary).astype(np.int64)
+        ndoc = (self.offsets_h[ci + 1]
+                - self.offsets_h[ci]).reshape(B, nb).sum(-1)
         return (np.asarray(top_scores), top_ids, codes_h,
                 np.asarray(beam_scores), ndoc)
 

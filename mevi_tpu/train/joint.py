@@ -1,0 +1,147 @@
+"""Joint NCI + codebook + twin-tower training (the --codebook mode).
+
+Rebuilds the reference's joint forward (``main_models.py:2197-2584``,
+``--codebook 1 --pq_runtime_label 1``):
+
+1. embed the positive passages with the (possibly frozen) document tower,
+2. assign runtime RQ labels + per-level codebook logits
+   (``pq(p_reps)``, ``main_models.py:2314``),
+3. NCI forward on those labels; compact slice logits = ``nci_logits``,
+4. PQ distillation loss between NCI and codebook logits
+   (replaces the CE loss when ``pq_loss != 'label'`` and the codebook is
+   trainable — ``main_models.py:2422-2444``),
+5. twin co-loss on (query, positive + sampled in-cluster negatives)
+   (``main_models.py:2528-2560``),
+6. optional codebook reconstruction loss
+   (``reconstruct_for_embeddings``, ``main_models.py:2562-2577``).
+
+Loss = nci(+distill) + co + centroid_scale * reconstruction, with
+per-part freezing via optimizer labels (fixnci/fixpq/fixdocenc).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import TrainConfig
+from ..models import twin_tower as tt
+from ..models.nci import NCIT5, compact_labels, make_labels
+from ..ops import rq as rq_ops
+from . import losses as L
+from .trainer import TrainState
+
+
+@dataclasses.dataclass(frozen=True)
+class JointStepConfig:
+    pq_loss: str = "ce"            # 'label' = plain CE on runtime labels
+    pq_softmax_tau: float = 1.0
+    pq_negative: str = "none"
+    centroid_update_loss: str = "none"   # 'none' | 'reconstruct'
+    centroid_loss_scale: float = 1.0
+    no_nci_loss: bool = False
+    no_twin_loss: bool = False
+    dist_mode: str = "l2"
+    rdrop: float = 0.0
+
+
+class JointParams(dict):
+    """{'nci': ..., 'tower': ..., 'codebooks': (M, K, d)}"""
+
+
+def joint_param_labels(params) -> Any:
+    from .trainer import _path_str
+
+    def label(path, _):
+        parts = _path_str(path).split("/")
+        if parts[0] == "codebooks":
+            return "docenc"                    # codebook LR group
+        if parts[0] == "tower":
+            return "docenc"
+        top = parts[1] if len(parts) > 1 else parts[0]
+        return "encoder" if top in ("shared", "encoder") else "decoder"
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+def joint_loss_fn(nci_model: NCIT5, tower_rep: Callable,
+                  params: Dict, batch: Dict, rng,
+                  cfg: JointStepConfig) -> Tuple[jnp.ndarray, Dict]:
+    """batch: query_ids/mask (b, Lq); pos_doc_ids/mask (b, Ld);
+    neg_doc_ids/mask (b, n_neg, Ld) in-cluster negatives."""
+    dims = nci_model.dims
+    kary, M = dims.kary, dims.code_len
+    codebooks = params["codebooks"]
+
+    # 1-2) runtime RQ labels + codebook logits
+    p_reps = tower_rep(params["tower"], batch["pos_doc_ids"],
+                       batch["pos_doc_mask"])
+    codes, pq_logits = rq_ops.assign_with_logits(
+        p_reps, codebooks, "rq", cfg.dist_mode)
+    codes = jax.lax.stop_gradient(codes)
+
+    # 3) NCI forward
+    _, dec_in = make_labels(codes, kary, dims.max_output_length)
+    labels = compact_labels(codes, dims)
+    kwargs = {}
+    if rng is not None:
+        kwargs = {"rngs": {"dropout": rng}}
+    compact, enc_h, dec_h, _ = nci_model.apply(
+        {"params": params["nci"]}, batch["query_ids"],
+        batch["query_mask"], dec_in, deterministic=rng is None, **kwargs)
+    nci_logits = compact[:, :M, :kary]          # per-level slice
+
+    metrics = {}
+    # 4) NCI loss: CE on labels, or distillation vs codebook logits
+    if cfg.pq_loss == "label":
+        nci_loss = L.nci_ce_loss(compact, labels)
+    else:
+        nci_loss = L.pq_distill_loss(
+            nci_logits, pq_logits, cfg.pq_loss, cfg.pq_softmax_tau,
+            cfg.pq_negative)
+    metrics["nci_loss"] = nci_loss
+
+    # 5) twin co-loss with in-cluster negatives (positive at slot 0)
+    co_loss = 0.0
+    if not cfg.no_twin_loss and "neg_doc_ids" in batch:
+        b, n_neg, Ld = batch["neg_doc_ids"].shape
+        n_reps = tower_rep(params["tower"],
+                           batch["neg_doc_ids"].reshape(-1, Ld),
+                           batch["neg_doc_mask"].reshape(-1, Ld))
+        groups = jnp.concatenate(
+            [p_reps[:, None, :], n_reps.reshape(b, n_neg, -1)], axis=1)
+        q_reps = tower_rep(params["tower"], batch["query_ids"],
+                           batch["query_mask"])
+        co_loss = tt.grouped_contrastive_loss(q_reps, groups)
+        metrics["co_loss"] = co_loss
+
+    # 6) codebook reconstruction
+    centroid_loss = 0.0
+    if cfg.centroid_update_loss == "reconstruct":
+        centroid_loss = L.rq_reconstruction_loss(
+            jax.lax.stop_gradient(p_reps), codes, codebooks)
+        metrics["centroid_update_loss"] = centroid_loss
+
+    loss = (0.0 if cfg.no_nci_loss else nci_loss) + co_loss \
+        + cfg.centroid_loss_scale * centroid_loss
+    metrics["loss"] = loss
+    return loss, metrics
+
+
+def make_joint_train_step(nci_model: NCIT5, tower_rep: Callable,
+                          optimizer, cfg: JointStepConfig,
+                          donate: bool = False):
+    def step(state: TrainState, batch, rng):
+        def lf(p):
+            return joint_loss_fn(nci_model, tower_rep, p, batch, rng, cfg)
+        (loss, metrics), grads = jax.value_and_grad(lf, has_aux=True)(
+            state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
