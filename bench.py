@@ -27,9 +27,21 @@ import numpy as np
 
 BASELINE_QPS_PER_CHIP = 100.0
 
+# The axon remote-compile helper writes its logs to fd 1; keep stdout
+# clean for the single JSON result line by pointing fd 1 at stderr for
+# the duration of the run and restoring it at the end.
+_REAL_STDOUT_FD = os.dup(1)
+os.dup2(2, 1)
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def emit_result(obj):
+    sys.stdout.flush()
+    os.dup2(_REAL_STDOUT_FD, 1)
+    print(json.dumps(obj), flush=True)
 
 
 def main():
@@ -108,7 +120,6 @@ def main():
     del emb
     log(f"index built: {time.time() - t0:.1f}s; transferring...")
     t0 = time.time()
-    fine = jax.device_put(fine)
     jax.block_until_ready(fine.sorted_emb)
     log(f"index on device: {time.time() - t0:.1f}s")
 
@@ -164,12 +175,12 @@ def main():
         jax.block_until_ready(out)
         log(f"  {name}: {BATCH * iters / (time.time() - t0):.1f} q/s")
 
-    print(json.dumps({
+    emit_result({
         "metric": "serving_queries_per_sec_per_chip",
         "value": round(qps, 2),
         "unit": "queries/s/chip",
         "vs_baseline": round(qps / BASELINE_QPS_PER_CHIP, 3),
-    }))
+    })
 
 
 if __name__ == "__main__":

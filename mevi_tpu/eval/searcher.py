@@ -41,6 +41,10 @@ class FineIndex(NamedTuple):
     sorted_emb: jnp.ndarray   # (N, d) — embeddings permuted to CSR order
     levels: int
     kary: int
+    # host copies kept from build time (device->host fetches stall behind
+    # the corpus upload on tethered TPUs); None when reconstructed
+    host_offsets: Optional[np.ndarray] = None
+    host_doc_ids: Optional[np.ndarray] = None
 
 
 def build_fine_index(codes: np.ndarray, emb: np.ndarray,
@@ -62,7 +66,8 @@ def build_fine_index(codes: np.ndarray, emb: np.ndarray,
             [sorted_emb, np.zeros((pad_rows, sorted_emb.shape[1]),
                                   sorted_emb.dtype)], axis=0)
     return FineIndex(jnp.asarray(offsets), jnp.asarray(doc_ids),
-                     jnp.asarray(sorted_emb), codes.shape[-1], kary)
+                     jnp.asarray(sorted_emb), codes.shape[-1], kary,
+                     host_offsets=offsets, host_doc_ids=doc_ids)
 
 
 def _beam_scores(query_emb, beam_codes, offsets, doc_ids, sorted_emb,

@@ -109,20 +109,29 @@ def _fused_kernel(cidx_ref, q_ref, off_ref, semb_ref, out_ref, row_ref,
         pltpu.make_async_copy(off_ref.at[pl.ds(arow, 2 * ALIGN), :],
                               off_buf.at[r], off_sems.at[r]).wait()
 
-    # 2) read bucket bounds, start the embedding DMAs
+    # 2) read bucket bounds (dynamic VMEM lane indexing is not a thing —
+    #    extract scalars with masked reductions), start embedding DMAs
+    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (2 * ALIGN, 128), 0)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (2 * ALIGN, 128), 1)
+
     starts = []
     ends = []
     for r in range(ROWS):
         ci = cidx_ref[g * ROWS + r]
-        row = ci // 128
-        col = jax.lax.rem(ci, 128)
-        sub = row - (row // ALIGN) * ALIGN
-        s = off_buf[r, sub, col]
-        nxt = ci + 1
-        row2 = nxt // 128
-        col2 = jax.lax.rem(nxt, 128)
-        sub2 = row2 - (row // ALIGN) * ALIGN   # same aligned base
-        e = off_buf[r, sub2, col2]
+        # ci+1 may live in the next 128-row block only when
+        # rem(ci,128)==127; arow covers rows [arow, arow+15] and
+        # row(ci) - arow <= 7, so row(ci+1) - arow <= 8 < 16: in-buffer.
+        base_arow = ((ci // 128) // ALIGN) * ALIGN
+
+        def read_rel(flat_idx):
+            row = flat_idx // 128
+            col = jax.lax.rem(flat_idx, 128)
+            sub = row - base_arow
+            hit = (sub_iota == sub) & (lane_iota == col)
+            return jnp.sum(jnp.where(hit, off_buf[r], 0))
+
+        s = read_rel(ci)
+        e = read_rel(ci + 1)
         starts.append(s)
         ends.append(e)
         al = pl.multiple_of((s // ALIGN) * ALIGN, ALIGN)

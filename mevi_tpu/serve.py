@@ -94,8 +94,12 @@ class PallasServer:
         kary = self.kary
         # host copies for doc-id mapping / ndoc (final results come to
         # host anyway; keeps big-table gathers off the device)
-        self.offsets_h = np.asarray(index.offsets).astype(np.int64)
-        self.doc_ids_h = np.asarray(index.doc_ids)
+        if getattr(index, "host_offsets", None) is not None:
+            self.offsets_h = np.asarray(index.host_offsets, np.int64)
+            self.doc_ids_h = np.asarray(index.host_doc_ids)
+        else:
+            self.offsets_h = np.asarray(index.offsets).astype(np.int64)
+            self.doc_ids_h = np.asarray(index.doc_ids)
         self.offsets2d = jnp.asarray(pack_offsets_2d(self.offsets_h))
         # slack so aligned cap-row slices starting at any bucket stay in
         # bounds; prefer host-side padding (build_fine_index(pad_rows=...))
