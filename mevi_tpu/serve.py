@@ -153,38 +153,51 @@ class PallasServer:
             return ts, jnp.where(ts <= -1e29, -1, tr)
         self._pool = _pool
 
-    def query(self, query_ids, query_mask):
-        """Returns (doc scores (B, pool), original doc ids (B, pool),
-        beam codes (B, nb, M), beam scores (B, nb), ndoc (B,)).
-
-        Three device dispatches, zero mid-pipeline host hops: the CSR
-        offsets lookup rides a DMA inside the bucket kernel.
-        """
-        import numpy as np
+    def query_device(self, query_ids, query_mask):
+        """Device half: three dispatches, zero host hops (the CSR offsets
+        lookup rides a DMA inside the bucket kernel).  Returns device
+        handles (top_scores, top_rows, codes, beam_scores); start their
+        host copies immediately so back-to-back batches pipeline."""
         B = query_ids.shape[0]
-        nb, cap = self.num_beams, self.cap
         # dispatch 1: qenc + beam + cidx/q_rep prep
         qemb, codes, beam_scores, cidx, q_rep = self._coarse(
             self.q_params, self.nci_params, query_ids, query_mask)
         # dispatch 2: fused bucket kernel (own program — mixing the
         # Mosaic custom call into a larger XLA program degrades it)
         scores, rows = self._bucket(self.sorted_emb, self.offsets2d,
-                                    cidx, q_rep, cap)
+                                    cidx, q_rep, self.cap)
         # dispatch 3: per-query pool top-k
-        top_scores, top_rows = self._pool(scores, rows, B, nb)
-        # single host round-trip for results
+        top_scores, top_rows = self._pool(scores, rows, B, self.num_beams)
+        out = (top_scores, top_rows, codes, beam_scores)
+        for arr in out:
+            try:
+                arr.copy_to_host_async()
+            except AttributeError:  # pragma: no cover (cpu fallback)
+                pass
+        return out
+
+    def finalize(self, handles):
+        """Host half: fetch + map CSR rows to original doc ids + ndoc."""
+        import numpy as np
+        from .index.csr import pack_codes
+        top_scores, top_rows, codes, beam_scores = handles
+        B, nb = codes.shape[0], self.num_beams
         top_rows_h = np.asarray(top_rows)
         codes_h = np.asarray(codes)
         top_ids = np.where(top_rows_h >= 0,
                            self.doc_ids_h[np.clip(top_rows_h, 0, None)],
                            -1).astype(np.int32)
-        from .index.csr import pack_codes
         ci = pack_codes(codes_h.reshape(-1, codes_h.shape[-1]),
                         self.kary).astype(np.int64)
         ndoc = (self.offsets_h[ci + 1]
                 - self.offsets_h[ci]).reshape(B, nb).sum(-1)
         return (np.asarray(top_scores), top_ids, codes_h,
                 np.asarray(beam_scores), ndoc)
+
+    def query(self, query_ids, query_mask):
+        """Returns (doc scores (B, pool), original doc ids (B, pool),
+        beam codes (B, nb, M), beam scores (B, nb), ndoc (B,))."""
+        return self.finalize(self.query_device(query_ids, query_mask))
 
 
 def make_sharded_server(qtower, nci, mesh: Mesh, num_beams: int = 10,
