@@ -171,6 +171,72 @@ class Evaluator:
         return out
 
 
+    def evaluate_nq(self, queries: List[str], query_ids: np.ndarray,
+                    query_mask: np.ndarray, query_indices: Sequence[int],
+                    answer_index, batch_size: int = 16,
+                    keep_results: bool = False) -> EvalOutputs:
+        """NQ answer-set evaluation (``main_models.py:3738-3756,
+        4061-4077``): a query 'hits' at the first ranked doc whose answer
+        set contains it; coarse hit = first beam whose cluster contains
+        any answering doc."""
+        cfg = self.cfg
+        n = len(queries)
+        coarse_hits, fine_hits, ndocs, results = [], [], [], []
+        from ..index.csr import pack_codes
+        host_off = (np.asarray(self.fine_index.host_offsets)
+                    if self.fine_index is not None and
+                    self.fine_index.host_offsets is not None else None)
+        host_ids = (np.asarray(self.fine_index.host_doc_ids)
+                    if self.fine_index is not None and
+                    self.fine_index.host_doc_ids is not None else None)
+        for s in range(0, n, batch_size):
+            sl = slice(s, min(s + batch_size, n))
+            (qi, qm), real = pad_batch(
+                [query_ids[sl], query_mask[sl]], batch_size)
+            res = self.run_batch(list(queries[sl.start:sl.stop]), qi, qm)
+            res.beam_codes = res.beam_codes[:real]
+            if res.fine_ids is not None:
+                res.fine_ids = res.fine_ids[:real]
+                res.ndoc = res.ndoc[:real]
+                ndocs.append(res.ndoc)
+            if keep_results:
+                results.append(res)
+            for b in range(real):
+                qind = int(query_indices[sl.start + b])
+                if cfg.recall_level in ("coarse", "both") and \
+                        host_off is not None:
+                    hit = -1
+                    cidx = pack_codes(res.beam_codes[b],
+                                      self.fine_index.kary)
+                    for j, c in enumerate(cidx):
+                        members = host_ids[host_off[c]:host_off[c + 1]]
+                        if any(answer_index.doc_answers_query(int(d),
+                                                              qind)
+                               for d in members):
+                            hit = j
+                            break
+                    coarse_hits.append(hit)
+                if res.fine_ids is not None:
+                    rank = answer_index.first_hit_rank(
+                        qind, res.fine_ids[b])
+                    fine_hits.append(-1 if rank is None else rank)
+
+        out = EvalOutputs(results=results if keep_results else None)
+        ones = np.ones(n, np.int64)
+        if coarse_hits:
+            ks = sorted({k for k in cfg.recall_num
+                         if k <= cfg.num_return_sequences}
+                        | {cfg.num_return_sequences})
+            out.coarse = metrics_from_rank_matrix(
+                np.asarray(coarse_hits)[:, None], ones, ks)
+        if fine_hits:
+            out.fine = metrics_from_rank_matrix(
+                np.asarray(fine_hits)[:, None], ones, cfg.recall_num)
+        if ndocs:
+            out.ndoc_per_query = float(np.concatenate(ndocs).mean())
+        return out
+
+
 def write_result_files(outputs: EvalOutputs, gt_docids: List[List[int]],
                        coarse_path: Optional[str] = None,
                        fine_path: Optional[str] = None,
