@@ -136,6 +136,37 @@ def doc_topk_codes(cfg: MEVIConfig, emb: np.ndarray,
     return np.concatenate(outs)
 
 
+def doc_topic_proba(cfg: MEVIConfig, emb: np.ndarray,
+                    codebooks: np.ndarray, codes: np.ndarray,
+                    batch: int = 262144) -> np.ndarray:
+    """Per-doc probability of its own code under the codebook softmax —
+    the 'topic model' doc-side score (``gen_doc2index_mapping``,
+    ``main_models.py:3311-3371``): product over levels of
+    softmax(level scores)[assigned code]."""
+    import jax
+    outs = []
+    cbs = jnp.asarray(codebooks)
+    for s in range(0, len(emb), batch):
+        _, logits = rq_ops.assign_with_logits(
+            jnp.asarray(emb[s:s + batch]), cbs,
+            cfg.rq.pq_type, cfg.rq.dist_mode)
+        proba = jax.nn.softmax(logits, axis=-1)          # (n, M, K)
+        own = jnp.take_along_axis(
+            proba, jnp.asarray(codes[s:s + batch])[:, :, None],
+            axis=-1)[..., 0]
+        outs.append(np.asarray(jnp.prod(own, axis=-1)))
+    return np.concatenate(outs)
+
+
+def topic_model_scores(query_proba, doc_proba, qd_scores,
+                       topic_score_ratio: float):
+    """Inference score fusion when the topic model is on
+    (``get_inference_scores``, ``main_models.py:3539-3552``):
+    ``query_proba * (r * doc_proba + (1 - r) * qd_scores)``."""
+    return query_proba * (topic_score_ratio * doc_proba
+                          + (1.0 - topic_score_ratio) * qd_scores)
+
+
 def reconstruct_leaf_centroids(cfg: MEVIConfig, codebooks: np.ndarray,
                                cluster_indices: np.ndarray) -> np.ndarray:
     """Reconstructed centroid of given leaf clusters (lazy variant of

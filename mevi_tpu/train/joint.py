@@ -145,3 +145,37 @@ def make_joint_train_step(nci_model: NCIT5, tower_rep: Callable,
         return TrainState(params, opt_state, state.step + 1), metrics
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_joint_train_step_ema(nci_model: NCIT5, tower_rep: Callable,
+                              optimizer, cfg: JointStepConfig,
+                              decay: float = 0.99):
+    """Variant with EMA codebook updates (``--pq_update_method ema``,
+    ``pq.py:371-433``): gradients never touch the codebooks (label them
+    'frozen' in the optimizer); each step re-embeds the positives,
+    assigns codes, and EMA-averages cluster statistics with dead-code
+    restart.  Returns step(state, ema_state, batch, rng) ->
+    (state, ema_state, metrics)."""
+
+    def step(state: TrainState, ema_state: rq_ops.EMAState, batch, rng):
+        def lf(p):
+            return joint_loss_fn(nci_model, tower_rep, p, batch, rng, cfg)
+        (loss, metrics), grads = jax.value_and_grad(lf, has_aux=True)(
+            state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        # EMA codebook step on the fresh tower's positives
+        p_reps = tower_rep(params["tower"], batch["pos_doc_ids"],
+                           batch["pos_doc_mask"])
+        codebooks = params["codebooks"]
+        codes = rq_ops.assign(p_reps, codebooks, "rq", cfg.dist_mode)
+        key = rng if rng is not None else jax.random.PRNGKey(0)
+        ema_state, new_cbs = rq_ops.ema_update(
+            ema_state, codebooks, p_reps, codes, key, decay=decay)
+        params = dict(params)
+        params["codebooks"] = new_cbs
+        return (TrainState(params, opt_state, state.step + 1),
+                ema_state, metrics)
+
+    return jax.jit(step)

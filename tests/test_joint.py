@@ -96,3 +96,27 @@ def test_frozen_codebook_with_set_to_zero(setup):
     state2, _ = step(state, batch, None)
     np.testing.assert_array_equal(np.asarray(state2.params["codebooks"]),
                                   np.asarray(params["codebooks"]))
+
+
+def test_joint_ema_step(setup):
+    from mevi_tpu.ops import rq as rq_ops
+    nci, tower_rep, params, batch = setup
+    cfg = J.JointStepConfig(pq_loss="label")
+
+    def labels_fn(p):
+        base = J.joint_param_labels(p)
+        base["codebooks"] = "frozen"
+        return base
+    tcfg = TrainConfig(warmup_steps=0)
+    opt = T.make_optimizer(tcfg, params, total_steps=100,
+                           labels=labels_fn(params))
+    state = T.init_state(params, opt)
+    ema = rq_ops.ema_init(params["codebooks"])
+    step = J.make_joint_train_step_ema(nci, tower_rep, opt, cfg)
+    state2, ema2, metrics = step(state, ema, batch,
+                                 jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    # EMA moved the codebooks even though grads are frozen
+    assert not np.allclose(np.asarray(state2.params["codebooks"]),
+                           np.asarray(params["codebooks"]))
+    assert float(jnp.sum(ema2.cluster_size)) > 0
