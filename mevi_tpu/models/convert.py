@@ -231,6 +231,20 @@ def split_ar2_checkpoint(sd: SD) -> Dict[str, Dict[str, Array]]:
             "query": towers["question_model."]}
 
 
+def init_nci_from_pretrained_t5(nci_params: Dict, t5_sd: SD,
+                                num_layers: int,
+                                gated: bool = False) -> Dict:
+    """Graft a pretrained T5's shared embedding + encoder into freshly
+    initialized NCI params (``--pretrain_encoder``,
+    ``main_models.py:1390-1397``: only ``shared.``/``encoder.`` weights
+    copy over; the decode side stays fresh)."""
+    out = dict(nci_params)
+    out["shared"] = {"embedding": np.asarray(t5_sd["shared.weight"])}
+    out["encoder"] = convert_t5_stack(t5_sd, "encoder", num_layers,
+                                      gated)
+    return out
+
+
 def load_torch_state_dict(path: str) -> Dict[str, Array]:
     """Load a torch checkpoint file into numpy (host-side helper)."""
     import torch

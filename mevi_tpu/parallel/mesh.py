@@ -74,6 +74,23 @@ def pad_to(n: int, multiple: int) -> int:
     return ((n + multiple - 1) // multiple) * multiple
 
 
+def initialize_multihost(coordinator: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> None:
+    """Multi-host setup (replaces ``init_process_group('nccl')``,
+    ``main.py:312-313``): one call per host before any jax op; all
+    hosts' devices then appear in ``jax.devices()`` and a global Mesh
+    spans them.  No-ops under a single process with env autodetection.
+    """
+    import jax
+    kwargs = {}
+    if coordinator is not None:
+        kwargs = dict(coordinator_address=coordinator,
+                      num_processes=num_processes,
+                      process_id=process_id)
+    jax.distributed.initialize(**kwargs)
+
+
 @contextmanager
 def virtual_cpu_devices(count: int = 8):
     """Force a virtual multi-device CPU backend (tests / dryrun only).

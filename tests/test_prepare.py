@@ -84,3 +84,12 @@ def test_nq_biencoder_pairs(tmp_path):
         {"question": "q?", "positive_ctxs": [{"passage_id": "5"}]},
     ]))
     assert P.nq_biencoder_pairs(str(p)) == [("q?", 4)]
+
+
+def test_qg_repair():
+    rows = [("q1", 0), ("q1", 0), ("  ", 0), ("q2", 0),
+            ("a", 1), ("b", 1), ("c", 1)]
+    cleaned, need = P.qg_repair(rows, n_per_doc=3)
+    assert ("q1", 0) in cleaned and ("q2", 0) in cleaned
+    assert sum(1 for _, d in cleaned if d == 0) == 2
+    assert need == [0]          # doc 0 has only 2 usable queries

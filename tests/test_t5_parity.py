@@ -81,3 +81,37 @@ def test_multi_step_decoder_parity(pair, rng):
     _, dec = model.apply(variables, jnp.array(ids), jnp.array(mask),
                          jnp.array(dec_ids.astype(np.int32)))
     np.testing.assert_allclose(np.array(dec), ref, atol=2e-5)
+
+
+def test_init_nci_from_pretrained_t5(pair, rng):
+    import jax
+    from mevi_tpu.models import convert
+    from mevi_tpu.models.nci import NCIDims, NCIT5
+    hf, model, variables = pair
+    sd = convert.hf_module_state_dict(hf)
+    dims = NCIDims(t5=T5Dims(dropout_rate=0.0, **DIMS), kary=4,
+                   max_output_length=4, adaptor_layer_num=1,
+                   adaptor_num_heads=4, adaptor_d_ff=32)
+    nci = NCIT5(dims)
+    ids = jnp.zeros((1, 5), jnp.int32)
+    fresh = nci.init(jax.random.PRNGKey(0), ids, jnp.ones_like(ids),
+                     jnp.zeros((1, 4), jnp.int32))["params"]
+    grafted = convert.init_nci_from_pretrained_t5(
+        fresh, sd, DIMS["num_layers"])
+    # encoder output equals the HF encoder
+    import numpy as np
+    qids = rng.integers(2, 100, size=(2, 6)).astype(np.int32)
+    mask = np.ones_like(qids)
+    ours = nci.apply({"params": grafted}, jnp.asarray(qids),
+                     jnp.asarray(mask), method=NCIT5.encode)
+    import torch
+    with torch.no_grad():
+        ref = hf.encoder(input_ids=torch.tensor(qids.astype(np.int64)),
+                         attention_mask=torch.tensor(
+                             mask.astype(np.int64))
+                         ).last_hidden_state.numpy()
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-5)
+    # decode side untouched
+    np.testing.assert_array_equal(
+        np.asarray(grafted["decode_embeddings"]["embedding"]),
+        np.asarray(fresh["decode_embeddings"]["embedding"]))
