@@ -121,3 +121,84 @@ def nci_beam_search(
     codes = tokens_to_codes(code_tokens.reshape(-1, M),
                             K).reshape(B, nb, M)
     return codes, norm, enc_hidden, dec_hidden
+
+
+@partial(jax.jit, static_argnames=("model", "num_beams", "length_penalty"))
+def nci_beam_search_incremental(
+    model: NCIT5,
+    params,
+    input_ids: jnp.ndarray,
+    attention_mask: jnp.ndarray,
+    num_beams: int,
+    length_penalty: float = 0.8,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """KV-cached beam decode: each step runs ONE token through the
+    decoder and PAWA (the panel variant recomputes all L positions —
+    ~L x more decode FLOPs).  Caches are beam-reordered by row gather.
+
+    Returns (codes (b, nbeam, M), normalized scores (b, nbeam),
+    enc_hidden) — identical ordering/scores to :func:`nci_beam_search`.
+    """
+    dims: NCIDims = model.dims
+    K, M, L = dims.kary, dims.code_len, dims.max_output_length
+    B = input_ids.shape[0]
+    nb = num_beams
+
+    def apply(method, *args, **kw):
+        return model.apply({"params": params}, *args, method=method, **kw)
+
+    enc_hidden = apply(NCIT5.encode, input_ids, attention_mask)
+    memory, mem_mask, _ = apply(NCIT5.build_memory, enc_hidden,
+                                attention_mask)
+    cross_kvs = apply(NCIT5.project_cross_kvs, memory)
+    kvs_b = jax.tree.map(lambda x: _expand_beams(x, nb), cross_kvs)
+    mem_mask_b = (None if mem_mask is None
+                  else _expand_beams(mem_mask, nb))
+    dec_cache, pawa_cache, pawa_mem = apply(
+        NCIT5.init_decode_state, B * nb)
+
+    cur_tok = jnp.zeros((B * nb, 1), jnp.int32)          # start token
+    beam_scores = jnp.full((B, nb), -1e9, jnp.float32).at[:, 0].set(0.0)
+    code_hist = jnp.zeros((B * nb, M), jnp.int32)
+
+    def gather_cache(cache, rows):
+        return jax.tree.map(lambda x: x[rows], cache)
+
+    def step(carry, t):
+        cur_tok, code_hist, beam_scores, dec_cache, pawa_cache = carry
+        logits, dec_cache, pawa_cache = apply(
+            NCIT5.decode_logits_step, cur_tok, t, dec_cache, pawa_cache,
+            kvs_b, pawa_mem, mem_mask_b)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+        code_lp = logp[:, :K].reshape(B, nb, K)
+        flat = (beam_scores[:, :, None] + code_lp).reshape(B, nb * K)
+        beam_scores, pos = jax.lax.top_k(flat, nb)
+        beam_idx = pos // K
+        code = (pos % K).astype(jnp.int32)
+        rows = (jnp.arange(B)[:, None] * nb + beam_idx).reshape(-1)
+        code_hist = code_hist[rows]
+        code_hist = code_hist.at[:, t].set(code.reshape(-1))
+        dec_cache = gather_cache(dec_cache, rows)
+        pawa_cache = (None if pawa_cache is None
+                      else gather_cache(pawa_cache, rows))
+        cur_tok = (code.reshape(-1, 1) + t * K + 2)
+        return (cur_tok, code_hist, beam_scores, dec_cache,
+                pawa_cache), None
+
+    carry = (cur_tok, code_hist, beam_scores, dec_cache, pawa_cache)
+    carry, _ = jax.lax.scan(step, carry, jnp.arange(M))
+    cur_tok, code_hist, beam_scores, dec_cache, pawa_cache = carry
+
+    # final step: EOS log-prob at position M
+    logits, _, _ = apply(
+        NCIT5.decode_logits_step, cur_tok, jnp.int32(M), dec_cache,
+        pawa_cache, kvs_b, pawa_mem, mem_mask_b)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+    eos_lp = logp[:, K].reshape(B, nb)
+    total = beam_scores + eos_lp
+    norm = total / jnp.float32(M + 1) ** jnp.float32(length_penalty)
+    order = jnp.argsort(-norm, axis=-1)
+    norm = jnp.take_along_axis(norm, order, axis=-1)
+    rows = (jnp.arange(B)[:, None] * nb + order).reshape(-1)
+    codes = code_hist[rows].reshape(B, nb, M)
+    return codes, norm, enc_hidden

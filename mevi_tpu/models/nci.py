@@ -273,6 +273,56 @@ class NCIT5(nn.Module):
                          jnp.zeros((K + 1,)))
         return logits + last[None], dec_hidden
 
+    # -- incremental decoding (KV caches; the serving hot path) ----------
+
+    def init_decode_state(self, batch: int, dtype=None):
+        """(decoder cache, pawa cache, pawa memory k/v) for a beam batch."""
+        d = self.dims
+        L = d.max_output_length
+        dec_cache = self.decoder.init_cache(batch, L, dtype)
+        pawa_cache = None
+        pawa_mem = None
+        if d.use_pawa:
+            pawa_cache = self.pawa.init_cache(batch, L, dtype)
+            pawa_mem = self.pawa.precompute_mem_kvs(batch, dtype)
+        return dec_cache, pawa_cache, pawa_mem
+
+    def decode_logits_step(self, tok_t, t, dec_cache, pawa_cache,
+                           cross_kvs, pawa_mem, memory_mask=None):
+        """Single-token decode: tok_t (b, 1) int32 at position t.
+
+        Computes only position t through the decoder and PAWA via KV
+        caches (the panel path recomputes all L positions per step).
+        Returns (compact logits (b, kary+1), dec_cache, pawa_cache).
+        """
+        d = self.dims
+        K = d.kary
+        L = d.max_output_length
+        embed_t = self.decode_embeddings(tok_t)
+        hidden_t, dec_cache = self.decoder.decode_step(
+            embed_t, t, dec_cache, cross_kvs, extend_mask(memory_mask))
+        seq_t = hidden_t[:, 0, :] * (d.t5.d_model ** -0.5)
+
+        W = self._head_matrix()
+        rows = jax.lax.dynamic_slice_in_dim(W, 2 + t * K, K, 0)
+        base = jnp.einsum("bd,kd->bk", seq_t, rows)
+        base_eos = seq_t @ W[1]
+        if d.use_pawa:
+            h_t, pawa_cache = self.pawa.decode_step(
+                embed_t, t, pawa_cache, pawa_mem)
+            h_t = h_t[:, 0, :]
+            A = self._adaptor_tensor()
+            A_t = jax.lax.dynamic_slice_in_dim(A, 2 + t * K, K, 2)
+            base = base + jnp.einsum("bi,idk,bd->bk", h_t, A_t, seq_t)
+            base_eos = base_eos + jnp.einsum("bi,id,bd->b", h_t,
+                                             A[:, :, 1], seq_t)
+        logits = jnp.concatenate([base, base_eos[:, None]], axis=-1)
+        last = jnp.where(jnp.equal(t, L - 1),
+                         jnp.concatenate([jnp.full((K,), NEG),
+                                          jnp.zeros((1,))]),
+                         jnp.zeros((K + 1,)))
+        return logits + last[None], dec_cache, pawa_cache
+
     def __call__(self, input_ids, attention_mask, decoder_input_ids,
                  deterministic=True):
         """Returns (compact_logits, enc_hidden, dec_hidden, ori_hidden)."""

@@ -45,63 +45,107 @@ class TorchMultiheadAttention(nn.Module):
     """torch ``nn.MultiheadAttention`` numerics (packed in-proj, scaled)."""
     dims: PawaDims
 
-    @nn.compact
-    def __call__(self, q_in, kv_in, attn_mask=None, deterministic=True):
+    def setup(self):
         d = self.dims
         dm = d.d_model
+        self.in_proj_kernel = self.param(
+            "in_proj_kernel", nn.initializers.xavier_uniform(),
+            (dm, 3 * dm))
+        self.in_proj_bias = self.param(
+            "in_proj_bias", nn.initializers.zeros, (3 * dm,))
+        self.out_proj = nn.Dense(dm, name="out_proj", dtype=d.dtype)
+        self.dropout = nn.Dropout(d.dropout_rate)
+
+    def _split(self, x):
+        d = self.dims
         h = d.num_heads
-        dk = dm // h
-        in_proj_w = self.param(
-            "in_proj_kernel", nn.initializers.xavier_uniform(), (dm, 3 * dm))
-        in_proj_b = self.param("in_proj_bias", nn.initializers.zeros,
-                               (3 * dm,))
-        q = q_in @ in_proj_w[:, :dm] + in_proj_b[:dm]
-        k = kv_in @ in_proj_w[:, dm:2 * dm] + in_proj_b[dm:2 * dm]
-        v = kv_in @ in_proj_w[:, 2 * dm:] + in_proj_b[2 * dm:]
+        dk = d.d_model // h
+        b, l, _ = x.shape
+        return x.reshape(b, l, h, dk).transpose(0, 2, 1, 3)
 
-        def split(x):
-            b, l, _ = x.shape
-            return x.reshape(b, l, h, dk).transpose(0, 2, 1, 3)
+    def project_q(self, x):
+        dm = self.dims.d_model
+        return self._split(x @ self.in_proj_kernel[:, :dm]
+                           + self.in_proj_bias[:dm])
 
-        q, k, v = split(q), split(k), split(v)
+    def project_kv(self, x):
+        dm = self.dims.d_model
+        k = x @ self.in_proj_kernel[:, dm:2 * dm] \
+            + self.in_proj_bias[dm:2 * dm]
+        v = x @ self.in_proj_kernel[:, 2 * dm:] + self.in_proj_bias[2 * dm:]
+        return self._split(k), self._split(v)
+
+    def attend(self, q, k, v, attn_mask=None, deterministic=True):
+        d = self.dims
+        dk = d.d_model // d.num_heads
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(
             jnp.float32(dk)).astype(q.dtype)
         if attn_mask is not None:
             scores = scores + attn_mask
         probs = jax.nn.softmax(scores.astype(jnp.float32),
                                axis=-1).astype(q.dtype)
-        probs = nn.Dropout(d.dropout_rate)(probs,
-                                           deterministic=deterministic)
+        probs = self.dropout(probs, deterministic=deterministic)
         ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
         b, _, l, _ = ctx.shape
-        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, l, dm)
-        return nn.Dense(dm, name="out_proj", dtype=d.dtype)(ctx)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, l, d.d_model)
+        return self.out_proj(ctx)
+
+    def __call__(self, q_in, kv_in, attn_mask=None, deterministic=True):
+        q = self.project_q(q_in)
+        k, v = self.project_kv(kv_in)
+        return self.attend(q, k, v, attn_mask, deterministic)
 
 
 class TorchDecoderLayer(nn.Module):
     """torch ``nn.TransformerDecoderLayer`` (post-norm, relu)."""
     dims: PawaDims
 
-    @nn.compact
-    def __call__(self, tgt, memory, tgt_mask=None, deterministic=True):
+    def setup(self):
         d = self.dims
-        sa = TorchMultiheadAttention(d, name="self_attn")(
-            tgt, tgt, tgt_mask, deterministic)
-        sa = nn.Dropout(d.dropout_rate)(sa, deterministic=deterministic)
-        x = nn.LayerNorm(epsilon=d.layer_norm_epsilon, name="norm1",
-                         dtype=d.dtype)(tgt + sa)
-        ca = TorchMultiheadAttention(d, name="cross_attn")(
-            x, memory, None, deterministic)
-        ca = nn.Dropout(d.dropout_rate)(ca, deterministic=deterministic)
-        x = nn.LayerNorm(epsilon=d.layer_norm_epsilon, name="norm2",
-                         dtype=d.dtype)(x + ca)
-        ff = nn.Dense(d.d_ff, name="linear1", dtype=d.dtype)(x)
-        ff = nn.Dropout(d.dropout_rate)(jax.nn.relu(ff),
-                                        deterministic=deterministic)
-        ff = nn.Dense(d.d_model, name="linear2", dtype=d.dtype)(ff)
-        ff = nn.Dropout(d.dropout_rate)(ff, deterministic=deterministic)
-        return nn.LayerNorm(epsilon=d.layer_norm_epsilon, name="norm3",
-                            dtype=d.dtype)(x + ff)
+        self.self_attn = TorchMultiheadAttention(d, name="self_attn")
+        self.cross_attn = TorchMultiheadAttention(d, name="cross_attn")
+        self.norm1 = nn.LayerNorm(epsilon=d.layer_norm_epsilon,
+                                  name="norm1", dtype=d.dtype)
+        self.norm2 = nn.LayerNorm(epsilon=d.layer_norm_epsilon,
+                                  name="norm2", dtype=d.dtype)
+        self.norm3 = nn.LayerNorm(epsilon=d.layer_norm_epsilon,
+                                  name="norm3", dtype=d.dtype)
+        self.linear1 = nn.Dense(d.d_ff, name="linear1", dtype=d.dtype)
+        self.linear2 = nn.Dense(d.d_model, name="linear2", dtype=d.dtype)
+        self.dropout = nn.Dropout(d.dropout_rate)
+
+    def _ff(self, x, deterministic):
+        ff = self.dropout(jax.nn.relu(self.linear1(x)),
+                          deterministic=deterministic)
+        ff = self.dropout(self.linear2(ff), deterministic=deterministic)
+        return self.norm3(x + ff)
+
+    def __call__(self, tgt, memory, tgt_mask=None, deterministic=True):
+        sa = self.self_attn(tgt, tgt, tgt_mask, deterministic)
+        sa = self.dropout(sa, deterministic=deterministic)
+        x = self.norm1(tgt + sa)
+        ca = self.cross_attn(x, memory, None, deterministic)
+        ca = self.dropout(ca, deterministic=deterministic)
+        x = self.norm2(x + ca)
+        return self._ff(x, deterministic)
+
+    def decode_step(self, x_t, t, cache_kv, mem_kv):
+        """Incremental step: x_t (b, 1, d); cache_kv (k, v) of shape
+        (b, h, max_len, dk); mem_kv precomputed memory (k, v)."""
+        max_len = cache_kv[0].shape[2]
+        pos = jnp.arange(max_len)
+        causal = jnp.where(pos[None, None, None, :] <= t, 0.0,
+                           -1e9).astype(jnp.float32)
+        q = self.self_attn.project_q(x_t)
+        k_t, v_t = self.self_attn.project_kv(x_t)
+        ck = jax.lax.dynamic_update_slice_in_dim(cache_kv[0], k_t, t, 2)
+        cv = jax.lax.dynamic_update_slice_in_dim(cache_kv[1], v_t, t, 2)
+        sa = self.self_attn.attend(q, ck, cv, causal)
+        x = self.norm1(x_t + sa)
+        cq = self.cross_attn.project_q(x)
+        ca = self.cross_attn.attend(cq, *mem_kv)
+        x = self.norm2(x + ca)
+        return self._ff(x, True), (ck, cv)
 
 
 class PawaAdaptor(nn.Module):
@@ -130,3 +174,33 @@ class PawaAdaptor(nn.Module):
         for layer in self.layers:
             x = layer(x, memory, mask, deterministic=deterministic)
         return x
+
+    # -- incremental decoding ---------------------------------------------
+
+    def precompute_mem_kvs(self, batch: int, dtype=None):
+        """The memory is a single learned vector: its (k, v) per layer
+        depend only on params — project once, broadcast over batch."""
+        mem = self.memory_embedding.astype(dtype or self.dims.dtype)
+        out = []
+        for layer in self.layers:
+            k, v = layer.cross_attn.project_kv(mem)     # (1, h, 1, dk)
+            out.append((jnp.broadcast_to(k, (batch,) + k.shape[1:]),
+                        jnp.broadcast_to(v, (batch,) + v.shape[1:])))
+        return out
+
+    def init_cache(self, batch: int, max_len: int, dtype=None):
+        d = self.dims
+        dk = d.d_model // d.num_heads
+        shape = (batch, d.num_heads, max_len, dk)
+        dtype = dtype or d.dtype
+        return [(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+                for _ in self.layers]
+
+    def decode_step(self, embed_t, t, cache, mem_kvs):
+        """embed_t (b, 1, d) -> (h_a_t (b, 1, d), new cache)."""
+        x = embed_t
+        new_cache = []
+        for layer, ckv, mkv in zip(self.layers, cache, mem_kvs):
+            x, nkv = layer.decode_step(x, t, ckv, mkv)
+            new_cache.append(nkv)
+        return x, new_cache

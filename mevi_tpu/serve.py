@@ -121,11 +121,13 @@ class PallasServer:
                         else bucket_scores_fused)
         G = None  # static per (B, nb)
 
+        from .decode.beam import nci_beam_search_incremental
+
         @jax.jit
         def _coarse(q_params, nci_params, ids, mask):
             qemb = qtower.apply({"params": q_params}, ids, mask,
                                 method=T5Model.first_token_rep)
-            codes, scores, _, _ = nci_beam_search(
+            codes, scores, _ = nci_beam_search_incremental(
                 nci, nci_params, ids, mask, num_beams, length_penalty)
             flat = codes.reshape(-1, codes.shape[-1])
             cidx = pack_codes(flat, kary)

@@ -76,3 +76,15 @@ def test_beams_are_unique(setup):
     for q in range(codes.shape[0]):
         seqs = {tuple(c) for c in codes[q]}
         assert len(seqs) == 5
+
+
+def test_incremental_beam_matches_panel(setup):
+    from mevi_tpu.decode.beam import nci_beam_search_incremental
+    model, params, ids, mask = setup
+    for nb in (2, 5):
+        c1, s1, e1, _ = nci_beam_search(model, params, ids, mask, nb)
+        c2, s2, e2 = nci_beam_search_incremental(model, params, ids,
+                                                 mask, nb)
+        assert (np.array(c1) == np.array(c2)).all()
+        np.testing.assert_allclose(np.array(s1), np.array(s2), atol=1e-5)
+        np.testing.assert_allclose(np.array(e1), np.array(e2), atol=1e-5)
