@@ -76,39 +76,30 @@ class Evaluator:
         self.fine_index = fine_index
         self.query_rep_fn = query_rep_fn
         self.doc_codes = doc_codes
-        nb = cfg.beams()
         self._rerank = None
         if fine_index is not None:
-            kary = fine_index.kary
-
-            @jax.jit
-            def rerank(qemb, codes, off, did, semb):
-                return fine_rerank(qemb, codes, off, did, semb, kary,
-                                   cfg.max_cluster_docs,
-                                   max(cfg.recall_num))
-            self._rerank = rerank
+            from .searcher import FineReranker
+            self._rerank = FineReranker(fine_index, cfg.max_cluster_docs,
+                                        max(cfg.recall_num))
 
     def run_batch(self, queries: List[str], query_ids: np.ndarray,
                   query_mask: np.ndarray) -> EvalBatchResult:
         cfg = self.cfg
-        codes, scores, _, _ = nci_beam_search(
+        from ..decode.beam import nci_beam_search_incremental
+        codes, scores, _ = nci_beam_search_incremental(
             self.model, self.params, jnp.asarray(query_ids),
             jnp.asarray(query_mask), cfg.beams(), cfg.length_penalty)
         codes = np.asarray(codes)[:, :cfg.num_return_sequences]
         scores = np.asarray(scores)[:, :cfg.num_return_sequences]
         out = EvalBatchResult(queries, codes, scores)
         if (cfg.recall_level in ("fine", "both")
-                and self.fine_index is not None):
+                and self._rerank is not None):
             qemb = self.query_rep_fn(jnp.asarray(query_ids),
                                      jnp.asarray(query_mask))
-            qemb = qemb.astype(self.fine_index.sorted_emb.dtype)
-            fi = self.fine_index
-            fs, fid, nd = self._rerank(qemb, jnp.asarray(codes),
-                                       fi.offsets, fi.doc_ids,
-                                       fi.sorted_emb)
-            out.fine_scores = np.asarray(fs)
-            out.fine_ids = np.asarray(fid)
-            out.ndoc = np.asarray(nd)
+            fs, fid, nd = self._rerank(qemb, codes)
+            out.fine_scores = fs
+            out.fine_ids = fid
+            out.ndoc = nd
         return out
 
     def evaluate(self, queries: List[str], query_ids: np.ndarray,

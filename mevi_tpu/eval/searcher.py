@@ -209,6 +209,89 @@ def mask_pool_topk(scores: jnp.ndarray, starts_aligned: jnp.ndarray,
     return top_scores, top_rows
 
 
+class FineReranker:
+    """Reusable fine re-rank: Pallas kernel path on TPU, gather fallback
+    on CPU.  Maps CSR rows back to original doc ids on host."""
+
+    def __init__(self, index: FineIndex, cap: int, pool: int):
+        import numpy as np
+        self.index = index
+        self.cap, self.pool = cap, pool
+        self.kary = index.kary
+        self.on_cpu = jax.default_backend() == "cpu"
+        if index.host_offsets is not None:
+            self.offsets_h = np.asarray(index.host_offsets, np.int64)
+            self.doc_ids_h = np.asarray(index.host_doc_ids)
+        else:
+            self.offsets_h = np.asarray(index.offsets).astype(np.int64)
+            self.doc_ids_h = np.asarray(index.doc_ids)
+        if not self.on_cpu:
+            from ..ops.bucket import pack_offsets_2d
+            self.offsets2d = jnp.asarray(pack_offsets_2d(self.offsets_h))
+            n = index.sorted_emb.shape[0]
+            need = int(self.offsets_h[-1]) + cap
+            need += (-need) % 8
+            if n < need:
+                semb = jnp.concatenate(
+                    [index.sorted_emb,
+                     jnp.zeros((need - n, index.sorted_emb.shape[1]),
+                               index.sorted_emb.dtype)], axis=0)
+            else:
+                semb = index.sorted_emb
+            self.semb = semb
+
+            @partial(jax.jit, static_argnames=("nq", "per_query"))
+            def _pool(scores, rows, nq, per_query):
+                g_real = nq * per_query
+                sc = scores[:g_real].reshape(nq, -1)
+                rw = rows[:g_real].reshape(nq, -1)
+                k = min(pool, sc.shape[-1])
+                ts, pp = jax.lax.top_k(sc, k)
+                tr = jnp.take_along_axis(rw, pp, axis=-1)
+                return ts, jnp.where(ts <= -1e29, -1, tr)
+            self._pool = _pool
+
+    def __call__(self, query_emb, beam_codes):
+        """query_emb (B, d); beam_codes (B, nb, M) ->
+        (scores (B, pool) np, original doc ids (B, pool) np, ndoc np)."""
+        import numpy as np
+        from ..index.csr import pack_codes
+        B, nb, M = np.asarray(beam_codes).shape
+        if self.on_cpu:
+            s, i, nd = fine_rerank(
+                jnp.asarray(query_emb).astype(
+                    self.index.sorted_emb.dtype),
+                jnp.asarray(beam_codes), self.index.offsets,
+                self.index.doc_ids, self.index.sorted_emb, self.kary,
+                self.cap, self.pool)
+            return np.asarray(s), np.asarray(i), np.asarray(nd)
+        from ..ops.bucket import ROWS, bucket_scores_fused
+        codes_h = np.asarray(beam_codes)
+        cidx_h = pack_codes(codes_h.reshape(-1, M),
+                            self.kary).astype(np.int32)
+        G = B * nb
+        pad_g = (-G) % ROWS
+        cidx = jnp.asarray(np.concatenate(
+            [cidx_h, np.zeros(pad_g, np.int32)]) if pad_g else cidx_h)
+        q_rep = jnp.repeat(jnp.asarray(query_emb).astype(
+            self.semb.dtype), nb, axis=0)
+        if pad_g:
+            q_rep = jnp.concatenate(
+                [q_rep, jnp.zeros((pad_g, q_rep.shape[1]),
+                                  q_rep.dtype)], axis=0)
+        scores, rows = bucket_scores_fused(self.semb, self.offsets2d,
+                                           cidx, q_rep, self.cap)
+        top_scores, top_rows = self._pool(scores, rows, B, nb)
+        top_rows_h = np.asarray(top_rows)
+        top_ids = np.where(top_rows_h >= 0,
+                           self.doc_ids_h[np.clip(top_rows_h, 0, None)],
+                           -1).astype(np.int32)
+        ci = cidx_h.astype(np.int64)
+        ndoc = (self.offsets_h[ci + 1]
+                - self.offsets_h[ci]).reshape(B, nb).sum(-1)
+        return np.asarray(top_scores), top_ids, ndoc
+
+
 # --------------------------------------------------------------------------
 # coarse metrics helpers
 # --------------------------------------------------------------------------
