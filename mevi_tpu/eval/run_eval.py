@@ -96,11 +96,34 @@ class Evaluator:
                 and self._rerank is not None):
             qemb = self.query_rep_fn(jnp.asarray(query_ids),
                                      jnp.asarray(query_mask))
-            fs, fid, nd = self._rerank(qemb, codes)
-            out.fine_scores = fs
-            out.fine_ids = fid
-            out.ndoc = nd
+            if cfg.eval_all_documents:
+                out.fine_scores, out.fine_ids, out.ndoc = \
+                    self._full_scan(qemb)
+            else:
+                fs, fid, nd = self._rerank(qemb, codes)
+                out.fine_scores = fs
+                out.fine_ids = fid
+                out.ndoc = nd
         return out
+
+    def _full_scan(self, qemb):
+        """eval_all_documents: exact MIPS over the whole corpus
+        (``main_models.py:3818-3876``), using the cluster-sorted matrix
+        with row->id mapping on host."""
+        from ..ops.mips import mips_topk
+        fi = self.fine_index
+        n_real = len(self._rerank.doc_ids_h)
+        s, rows = mips_topk(
+            jnp.asarray(qemb).astype(fi.sorted_emb.dtype),
+            fi.sorted_emb[:n_real] if fi.sorted_emb.shape[0] != n_real
+            else fi.sorted_emb,
+            k=max(self.cfg.recall_num))
+        rows_h = np.asarray(rows)
+        ids = np.where(rows_h >= 0,
+                       self._rerank.doc_ids_h[np.clip(rows_h, 0, None)],
+                       -1).astype(np.int32)
+        ndoc = np.full(qemb.shape[0], n_real, np.int64)
+        return np.asarray(s), ids, ndoc
 
     def evaluate(self, queries: List[str], query_ids: np.ndarray,
                  query_mask: np.ndarray, gt_docids: List[List[int]],
