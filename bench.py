@@ -59,7 +59,7 @@ def main():
 
     # ---- geometry (reference headline config) --------------------------
     NDOC = int(os.environ.get("BENCH_NDOC", 1_000_000 if on_tpu else 20_000))
-    BATCH = int(os.environ.get("BENCH_BATCH", 512 if on_tpu else 4))
+    BATCH = int(os.environ.get("BENCH_BATCH", 256 if on_tpu else 4))
     NBEAM = 10
     POOL = 1000 if on_tpu else 100
     CAP = 512 if on_tpu else 64
