@@ -113,10 +113,12 @@ def cmd_gen_embeddings(args):
     from ..models import convert
     from ..models.twin_tower import make_tower
     cfg = load_config(args.config)
-    tower = make_tower(cfg.encoder.family)
+    from ..models.twin_tower import tower_from_config
+    tower = tower_from_config(cfg.encoder)
     sd = convert.load_torch_state_dict(args.checkpoint)
     if cfg.encoder.family == "t5":
-        params = convert.convert_t5_model(sd, cfg.encoder.num_layers, 12)
+        params = convert.convert_t5_model(sd, cfg.encoder.num_layers,
+                                          cfg.encoder.num_layers)
     else:
         params = convert.convert_bert_model(sd, cfg.encoder.num_layers)
 
@@ -433,11 +435,12 @@ def cmd_eval(args):
                             else None)
 
     # twin query tower
-    tower = make_tower(cfg.encoder.family)
+    from ..models.twin_tower import tower_from_config
+    tower = tower_from_config(cfg.encoder)
     tsd = convert.load_torch_state_dict(args.tower_ckpt)
     if cfg.encoder.family == "t5":
         tparams = convert.convert_t5_model(tsd, cfg.encoder.num_layers,
-                                           12)
+                                           cfg.encoder.num_layers)
     else:
         tparams = convert.convert_bert_model(tsd, cfg.encoder.num_layers)
 
@@ -456,12 +459,15 @@ def cmd_eval(args):
         num_return_sequences=args.num_return_sequences,
         recall_level=args.recall_level,
         recall_num=tuple(int(x) for x in args.recall_num.split(",")),
-        max_cluster_docs=args.max_cluster_docs)
+        max_cluster_docs=args.max_cluster_docs,
+        eval_all_documents=bool(args.eval_all_documents))
     ev = Evaluator(model, params, icfg, fine_index=fine,
                    query_rep_fn=rep_fn, doc_codes=codes)
-    out = ev.evaluate(queries, qids, qmask, gts,
-                      batch_size=args.batch_size,
-                      keep_results=bool(args.save_path))
+    from ..utils.timers import profiler_trace
+    with profiler_trace(args.profile_dir):
+        out = ev.evaluate(queries, qids, qmask, gts,
+                          batch_size=args.batch_size,
+                          keep_results=bool(args.save_path))
     report = {"ndoc_per_query": out.ndoc_per_query}
     if out.coarse:
         report["coarse"] = out.coarse
@@ -587,7 +593,10 @@ def build_parser():
     sp.add_argument("--max_cluster_docs", type=int, default=4096)
     sp.add_argument("--batch_size", type=int, default=16)
     sp.add_argument("--bf16", action="store_true")
+    sp.add_argument("--eval_all_documents", action="store_true")
     sp.add_argument("--save_path", default=None)
+    sp.add_argument("--profile_dir", default=None,
+                    help="write a jax.profiler trace here")
     sp.set_defaults(fn=cmd_eval)
     return p
 

@@ -51,6 +51,27 @@ def make_tower(family: str, dims=None) -> Tower:
     return Tower("bert", BertEncoderModel(dims), None)
 
 
+def tower_from_config(enc_cfg) -> Tower:
+    """Tower built from an :class:`mevi_tpu.config.EncoderConfig`."""
+    if enc_cfg.family == "t5":
+        dims = T5Dims(
+            d_model=enc_cfg.d_model, num_layers=enc_cfg.num_layers,
+            # T5-ANCE is a full t5-base: decoder depth == encoder depth
+            num_decoder_layers=enc_cfg.num_layers,
+            num_heads=enc_cfg.num_heads,
+            d_kv=enc_cfg.d_model // enc_cfg.num_heads,
+            d_ff=enc_cfg.d_ff, vocab_size=32128,
+            dropout_rate=0.0)
+        return Tower("t5", T5Model(dims), None)
+    dims = BertDims(
+        vocab_size=enc_cfg.vocab_size, d_model=enc_cfg.d_model,
+        num_layers=enc_cfg.num_layers, num_heads=enc_cfg.num_heads,
+        d_ff=enc_cfg.d_ff,
+        max_position_embeddings=enc_cfg.max_position_embeddings,
+        type_vocab_size=enc_cfg.type_vocab_size, dropout_rate=0.0)
+    return Tower("bert", BertEncoderModel(dims), None)
+
+
 def similarity(q_reps: jnp.ndarray, p_reps: jnp.ndarray,
                bmm: bool = False) -> jnp.ndarray:
     """``compute_similarity`` (``document_encoder.py:128-132``)."""
