@@ -42,6 +42,7 @@ class T5Dims:
     layer_norm_epsilon: float = 1e-6
     dropout_rate: float = 0.1
     gated_act: bool = False      # False: relu (t5 v1.0 / t5-ance)
+    remat: bool = False          # rematerialize blocks (training memory)
     dtype: Any = jnp.float32
 
     @classmethod
@@ -232,9 +233,13 @@ class T5Stack(nn.Module):
 
     def setup(self):
         d = self.dims
+        # jax.checkpoint each block to trade recompute for activation
+        # memory (SURVEY.md TPU notes; batch-512 T5-base training)
+        block_cls = (nn.remat(T5Block, static_argnums=(7,))
+                     if d.remat else T5Block)
         self.blocks = [
-            T5Block(d, is_decoder=self.is_decoder,
-                    has_relative_bias=(i == 0), name=f"block_{i}")
+            block_cls(d, is_decoder=self.is_decoder,
+                      has_relative_bias=(i == 0), name=f"block_{i}")
             for i in range(self.num_layers)]
         self.final_norm = RMSNorm(d.d_model, d.layer_norm_epsilon, d.dtype,
                                   name="final_norm")
@@ -246,10 +251,10 @@ class T5Stack(nn.Module):
         position_bias = None
         for i, block in enumerate(self.blocks):
             ckv = None if cross_kvs is None else cross_kvs[i]
+            # positional call: nn.remat static_argnums needs positions
             hidden, position_bias = block(
-                hidden, self_mask=self_mask, position_bias=position_bias,
-                enc_hidden=enc_hidden, enc_mask=enc_mask, cross_kv=ckv,
-                deterministic=deterministic)
+                hidden, self_mask, position_bias, enc_hidden, enc_mask,
+                ckv, deterministic)
         return self.final_norm(self.dropout(
             hidden, deterministic=deterministic))
 
