@@ -170,6 +170,22 @@ def cmd_search(args):
                                                    cfg.rq.emb_size))
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     docs_d = jnp.asarray(docs, dtype)
+    if args.profile:
+        # latency profile across batch sizes (faiss_search.py:32-68)
+        import jax
+        for bs in (1, 2, 4, 8, 16, 32, 64, 128, 256):
+            q = jnp.asarray(queries[:bs], dtype)
+            if q.shape[0] < bs:
+                q = jnp.tile(q, (-(-bs // max(q.shape[0], 1)), 1))[:bs]
+            jax.block_until_ready(mips_topk(q, docs_d, k=args.topk))
+            t0 = time.time()
+            for _ in range(5):
+                out = mips_topk(q, docs_d, k=args.topk)
+            jax.block_until_ready(out)
+            dt = (time.time() - t0) / 5
+            print(f"bs={bs}: {dt * 1e3:.2f} ms/batch "
+                  f"{bs / dt:.1f} q/s", file=sys.stderr)
+        return
     out_scores, out_ids = [], []
     bs = args.batch
     t0 = time.time()
@@ -528,6 +544,8 @@ def build_parser():
     sp.add_argument("--topk", type=int, default=1000)
     sp.add_argument("--batch", type=int, default=256)
     sp.add_argument("--bf16", action="store_true")
+    sp.add_argument("--profile", action="store_true",
+                    help="latency profile across batch sizes")
     sp.add_argument("--output", default=None)
     sp.set_defaults(fn=cmd_search)
 

@@ -73,6 +73,20 @@ def embed_corpus(
     return out
 
 
+def make_sharded_rep_fn(rep_fn, mesh):
+    """Wrap a jitted representation fn so batches shard over the mesh's
+    data axis (multi-chip corpus embedding — each chip encodes its slice
+    of every batch; replaces the reference's per-rank doc ranges +
+    memmap merge, ``main_models.py:3090-3169``)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ..parallel.mesh import DATA_AXIS
+    sh = NamedSharding(mesh, P(DATA_AXIS, None))
+
+    def f(ids, mask):
+        return rep_fn(jax.device_put(ids, sh), jax.device_put(mask, sh))
+    return f
+
+
 @dataclasses.dataclass
 class RQIndexArtifacts:
     codebooks: np.ndarray     # (M, K, d)
