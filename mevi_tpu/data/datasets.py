@@ -135,6 +135,63 @@ class TwinDataset:
             }
 
 
+class FileNegativeSampler:
+    """Hard negatives from a precomputed per-query list
+    (``co_neg_from='file'`` / 'simans', ``main_models.py:1873-1928``):
+    uniform sampling, or score-weighted ('simans') when scores given."""
+
+    def __init__(self, negatives: Dict[str, Sequence[int]],
+                 scores: Optional[Dict[str, Sequence[float]]] = None,
+                 num_docs: int = 0):
+        self.negatives = negatives
+        self.scores = scores
+        self.num_docs = num_docs
+
+    @classmethod
+    def from_hardneg_tsv(cls, path: str, num_docs: int = 0):
+        from .io import parse_result_tsv
+        preds, scores, _ = parse_result_tsv(
+            path, {"query": 0, "pred": 2, "score": 3})
+        return cls(preds, scores, num_docs)
+
+    def sample(self, query: str, pos_doc: int, n_neg: int,
+               rng: np.random.Generator) -> np.ndarray:
+        cands = [c for c in self.negatives.get(query, ())
+                 if c != pos_doc]
+        if not cands:
+            out = rng.integers(0, max(self.num_docs, 1), n_neg + 1)
+            return out[out != pos_doc][:n_neg]
+        if self.scores is not None and query in self.scores:
+            w = np.asarray([s for c, s in zip(self.negatives[query],
+                                              self.scores[query])
+                            if c != pos_doc], np.float64)
+            w = np.exp(w - w.max())
+            w /= w.sum()
+            return rng.choice(cands, size=min(n_neg, len(cands)),
+                              replace=len(cands) < n_neg, p=w)
+        replace = len(cands) < n_neg
+        return rng.choice(cands, size=n_neg, replace=replace)
+
+
+def alternating_batches(iter_a, iter_b, ratio: Tuple[int, int],
+                        ) -> Iterator[Tuple[str, Dict]]:
+    """Interleave two batch streams by a (a_count, b_count) ratio — the
+    reference's within-epoch NCI/twin alternation samplers
+    (``VariableBatchSizeSamplerWithinEpoch``,
+    ``main_models.py:899-948``).  Yields ('a'|'b', batch); stops when
+    either stream is exhausted."""
+    a_n, b_n = ratio
+    ia, ib = iter(iter_a), iter(iter_b)
+    try:
+        while True:
+            for _ in range(a_n):
+                yield "a", next(ia)
+            for _ in range(b_n):
+                yield "b", next(ib)
+    except StopIteration:
+        return
+
+
 def device_prefetch(iterator, size: int = 2):
     """Move host batches to device ahead of consumption."""
     import collections

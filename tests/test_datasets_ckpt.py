@@ -84,3 +84,25 @@ def test_checkpoint_manager_topk(tmp_path):
     np.testing.assert_array_equal(np.array(restored["w"]), np.ones((2, 2)))
     import os.path as osp
     assert not osp.exists(str(tmp_path / "ck" / "e1"))
+
+
+def test_file_negative_sampler(tmp_path, rng):
+    from mevi_tpu.data.datasets import FileNegativeSampler
+    from mevi_tpu.data import io
+    p = str(tmp_path / "hn.tsv")
+    io.write_hardneg_results(p, [("q1", [], [3, 4, 5], [2.0, 1.0, 0.5])])
+    s = FileNegativeSampler.from_hardneg_tsv(p, num_docs=100)
+    out = s.sample("q1", 4, 2, rng)
+    assert set(out.tolist()) <= {3, 5}
+    # unknown query -> random corpus fallback
+    out2 = s.sample("zzz", 0, 3, rng)
+    assert len(out2) == 3 and (out2 != 0).all()
+
+
+def test_alternating_batches():
+    from mevi_tpu.data.datasets import alternating_batches
+    a = [{"x": i} for i in range(4)]
+    b = [{"y": i} for i in range(2)]
+    out = list(alternating_batches(a, b, (2, 1)))
+    kinds = [k for k, _ in out]
+    assert kinds == ["a", "a", "b", "a", "a", "b"]
