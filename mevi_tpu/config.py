@@ -24,7 +24,7 @@ import dataclasses
 import hashlib
 import json
 from dataclasses import dataclass, field
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Tuple
 
 
 def _asdict(cfg) -> dict:

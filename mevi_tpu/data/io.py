@@ -24,7 +24,6 @@ from __future__ import annotations
 
 import ast
 import os
-import os.path as osp
 from typing import Dict, Iterable, List, Sequence, Tuple
 
 import numpy as np

@@ -12,7 +12,6 @@ EOS) at the code token, plus the final EOS log-prob, normalized by
 
 from __future__ import annotations
 
-from functools import partial
 from itertools import product
 from typing import Tuple
 

@@ -14,7 +14,7 @@ The LM head follows t5-base tied-embedding semantics: logits =
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ doc -> query-index arrays (``ensemble_nqdpr.py:9-47``).
 
 from __future__ import annotations
 
-from typing import Dict, Iterable, List, Mapping, Optional, Sequence, Tuple
+from typing import Dict, List, Mapping, Optional, Sequence, Tuple
 
 import numpy as np
 

@@ -15,7 +15,7 @@ writing stay on host.  No mp.spawn, no NCCL, no barrier-file merges.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Callable, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -26,7 +26,7 @@ from ..data import io
 from ..decode.beam import nci_beam_search
 from ..models.nci import NCIT5
 from .metrics import metrics_from_rank_matrix, ranks_of_gts
-from .searcher import FineIndex, coarse_ranks, fine_rerank
+from .searcher import FineIndex, coarse_ranks
 
 
 @dataclasses.dataclass

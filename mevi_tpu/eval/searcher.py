@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..index.csr import CSRIndex, pack_codes
+from ..index.csr import pack_codes
 from ..ops.topk import NEG_INF
 from ..parallel.mesh import CORPUS_AXIS, DATA_AXIS
 

@@ -23,7 +23,7 @@ keyed by config hash, mirroring the reference's content-addressed cache.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional, Tuple
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

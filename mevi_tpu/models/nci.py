@@ -26,14 +26,14 @@ tests.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, List, Optional, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
 from .pawa import PawaAdaptor, PawaDims
-from .t5 import RMSNorm, T5Dims, T5Stack, causal_mask, extend_mask
+from .t5 import T5Dims, T5Stack, causal_mask, extend_mask
 
 NEG = -1e9
 

@@ -23,7 +23,7 @@ one per batch element per step, ``modeling_t5.py:1677-1682``).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..parallel.mesh import CORPUS_AXIS, DATA_AXIS
-from .topk import NEG_INF, chunk_ids_clamped, merge_topk, streaming_topk
+from .topk import chunk_ids_clamped, streaming_topk
 
 
 def _scores(queries: jnp.ndarray, docs: jnp.ndarray,

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .kmeans import _sim, kmeans_assign, kmeans_fit, kmeans_stats
+from .kmeans import _sim, kmeans_fit
 
 
 class RQCodebook(NamedTuple):

@@ -17,7 +17,7 @@ cluster-sorted corpus over ``corpus``.
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -27,7 +27,6 @@ from .decode.beam import nci_beam_search
 from .eval.searcher import FineIndex, _beam_scores
 from .models.nci import NCIT5
 from .models.t5 import T5Model
-from .models.twin_tower import Tower
 from .ops.topk import NEG_INF
 from .parallel.mesh import CORPUS_AXIS, DATA_AXIS
 

@@ -22,7 +22,6 @@ import os.path as osp
 import shutil
 from typing import Any, Dict, Optional
 
-import jax
 import numpy as np
 
 

@@ -22,13 +22,12 @@ per-part freezing via optimizer labels (fixnci/fixpq/fixdocenc).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
 
-from ..config import TrainConfig
 from ..models import twin_tower as tt
 from ..models.nci import NCIT5, compact_labels, make_labels
 from ..ops import rq as rq_ops

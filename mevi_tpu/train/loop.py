@@ -25,7 +25,7 @@ from typing import Any, Callable, Dict, Optional
 import jax
 import numpy as np
 
-from ..config import InferConfig, MEVIConfig
+from ..config import MEVIConfig
 from ..eval.run_eval import Evaluator
 from ..eval.searcher import build_fine_index
 from ..index.build import build_rq_index, embed_corpus

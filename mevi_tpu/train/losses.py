@@ -19,7 +19,7 @@ Everything operates on the NCI model's *compact* logits
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ import ctypes
 import os
 import os.path as osp
 import subprocess
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
