@@ -168,6 +168,52 @@ def rq_train(
     return jnp.stack(cbs), jnp.stack(codes, axis=1).astype(jnp.int32)
 
 
+def opq_train(
+    emb: jnp.ndarray,
+    levels: int,
+    kary: int,
+    iters: int = 15,
+    inner_iters: int = 5,
+    key: Optional[jax.Array] = None,
+    dist_mode: str = "l2",
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """OPQ: learn a rotation R and PQ codebooks by alternation.
+
+    The reference delegates OPQ to faiss's ``OPQ{M},PQ{M}x{b}`` factory
+    (``pq.py:179-198``) and stores the rotation in ``self.rotate``
+    (applied as ``x @ R.T`` before sub-vector assignment,
+    ``pq.py:319-321``).  Classic OPQ-NP alternation:
+
+      1. codebooks <- PQ k-means on rotated data,
+      2. R <- argmin ||X R^T - X_hat||_F = U V^T from the SVD of
+         X^T X_hat (orthogonal Procrustes).
+
+    Returns (rotation (d, d), codebooks (M, K, d/M), codes (n, M)) as
+    numpy; assignment for new vectors = ``assign(x @ R.T, cbs, 'pq')``.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    n, d = emb.shape
+    R = jnp.eye(d, dtype=jnp.float32)
+    codebooks = None
+    for it in range(iters):
+        key, sub = jax.random.split(key)
+        rotated = (emb.astype(jnp.float32) @ R.T).astype(emb.dtype)
+        codebooks, codes = rq_train(
+            rotated, levels, kary, iters=inner_iters, key=sub,
+            dist_mode=dist_mode, pq_type="pq",
+            init_codebooks=codebooks)
+        if it == iters - 1:
+            break
+        rec = reconstruct(jnp.asarray(codes), jnp.asarray(codebooks),
+                          "pq")                       # (n, d) rotated-space
+        # procrustes: R = U V^T of X^T X_hat (host SVD, d x d)
+        m = np.asarray(emb.astype(jnp.float32)).T @ np.asarray(rec)
+        u, _, vt = np.linalg.svd(m.astype(np.float64))
+        R = jnp.asarray((u @ vt).T, jnp.float32)
+    return np.asarray(R), np.asarray(codebooks), np.asarray(codes)
+
+
 def align_codebooks(old: np.ndarray, new: np.ndarray,
                     dist_mode: str = "l2") -> np.ndarray:
     """Permute ``new`` so each centroid matches its closest predecessor

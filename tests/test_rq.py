@@ -159,3 +159,37 @@ def test_align_codebooks_identity_permutation(rng):
     new = old[:, perm, :]
     aligned = rq.align_codebooks(old, new)
     np.testing.assert_allclose(aligned, old, rtol=1e-6)
+
+
+def test_opq_beats_pq_on_rotated_data(rng):
+    """OPQ recovers a rotation that plain PQ cannot: data lives in
+    correlated coordinates; after the learned rotation the per-subvector
+    quantizers fit far better."""
+    n, d, M, K = 2000, 16, 4, 8
+    # independent low-variance subspaces, then a random rotation mixes them
+    z = rng.normal(size=(n, d)).astype(np.float32)
+    z[:, d // 2:] *= 0.05          # second half nearly deterministic
+    q, _ = np.linalg.qr(rng.normal(size=(d, d)))
+    x = (z @ q.T).astype(np.float32)
+
+    cbs_pq, codes_pq = rq.rq_train(jnp.asarray(x), M, K, iters=8,
+                                   key=jax.random.PRNGKey(0),
+                                   pq_type="pq")
+    rec_pq = np.asarray(rq.reconstruct(codes_pq, cbs_pq, "pq"))
+    mse_pq = ((x - rec_pq) ** 2).mean()
+
+    R, cbs, codes = rq.opq_train(jnp.asarray(x), M, K, iters=8,
+                                 inner_iters=8,
+                                 key=jax.random.PRNGKey(0))
+    rec_rot = np.asarray(rq.reconstruct(jnp.asarray(codes),
+                                        jnp.asarray(cbs), "pq"))
+    # back to original space: x_hat = rec_rot @ R (inverse of x @ R.T)
+    rec = rec_rot @ R
+    mse_opq = ((x - rec) ** 2).mean()
+    assert mse_opq < mse_pq * 0.9, (mse_opq, mse_pq)
+    # rotation is orthogonal
+    np.testing.assert_allclose(R @ R.T, np.eye(16), atol=1e-4)
+    # codes match fresh assignment of rotated vectors
+    fresh = np.asarray(rq.assign(jnp.asarray(x @ R.T), jnp.asarray(cbs),
+                                 "pq", "l2"))
+    assert (fresh == codes).all()
