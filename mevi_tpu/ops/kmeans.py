@@ -98,22 +98,32 @@ def kmeans_stats(x: jnp.ndarray, assign: jnp.ndarray, k: int,
     return sums, counts
 
 
+@partial(jax.jit, static_argnames=("k", "dist_mode", "candidates"))
 def kmeans_plusplus_init(x: jnp.ndarray, k: int, key: jax.Array,
                          dist_mode: str = "l2",
                          candidates: int = 8) -> jnp.ndarray:
     """k-means++ seeding with D² sampling (sklearn-style, greedy over a
-    few candidates per round).  O(k · n · d) — fine for k <= 256."""
+    few candidates per round).  O(k · n · d) — fine for k <= 256.
+
+    Row selection uses one-hot matmuls instead of gathers: big-table row
+    gathers are pathological on some TPU stacks, while an (m, n) x (n, d)
+    matmul rides the MXU.
+    """
     n, d = x.shape
+    xf = x.astype(jnp.float32)
+
+    def take_rows(idx):
+        onehot = jax.nn.one_hot(idx, n, dtype=jnp.float32)   # (m, n)
+        return jax.lax.dot_general(
+            onehot, xf, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
     key, sub = jax.random.split(key)
-    first = jax.random.randint(sub, (), 0, n)
-    centroids = jnp.zeros((k, d), x.dtype).at[0].set(x[first])
+    first = take_rows(jax.random.randint(sub, (1,), 0, n))[0]
+    centroids = jnp.zeros((k, d), jnp.float32).at[0].set(first)
 
-    def dist_to(c):
-        # squared distance to a single centroid (n,)
-        diff = x.astype(jnp.float32) - c.astype(jnp.float32)[None, :]
-        return jnp.sum(diff * diff, axis=-1)
-
-    d2 = dist_to(x[first])
+    diff0 = xf - first[None, :]
+    d2 = jnp.sum(diff0 * diff0, axis=-1)
 
     def body(i, carry):
         centroids, d2, key = carry
@@ -122,9 +132,8 @@ def kmeans_plusplus_init(x: jnp.ndarray, k: int, key: jax.Array,
         # total potential most
         logits = jnp.log(jnp.maximum(d2, 1e-20))
         cand_idx = jax.random.categorical(sub, logits, shape=(candidates,))
-        cand = x[cand_idx]                                   # (c, d)
-        diff = (x.astype(jnp.float32)[None, :, :]
-                - cand.astype(jnp.float32)[:, None, :])
+        cand = take_rows(cand_idx)                           # (c, d)
+        diff = xf[None, :, :] - cand[:, None, :]
         cand_d2 = jnp.minimum(jnp.sum(diff * diff, -1), d2[None, :])
         pots = jnp.sum(cand_d2, axis=-1)
         best = jnp.argmin(pots)
@@ -132,7 +141,7 @@ def kmeans_plusplus_init(x: jnp.ndarray, k: int, key: jax.Array,
         return centroids, cand_d2[best], key
 
     centroids, _, _ = jax.lax.fori_loop(1, k, body, (centroids, d2, key))
-    return centroids
+    return centroids.astype(x.dtype)
 
 
 def kmeans_fit(
@@ -158,28 +167,40 @@ def kmeans_fit(
     if init_centroids is None:
         key, sub, sub2 = jax.random.split(key, 3)
         if n > init_sample:
-            rows = jax.random.choice(sub2, n, (init_sample,), replace=False)
-            seed_x = x[rows]
+            # subsample via a few contiguous random chunks — a 262k-row
+            # gather from a corpus-sized table is pathological on some
+            # TPU stacks, contiguous slices are free
+            n_chunks = 8
+            clen = init_sample // n_chunks
+            starts = jax.random.randint(sub2, (n_chunks,), 0, n - clen)
+            seed_x = jnp.concatenate(
+                [jax.lax.dynamic_slice_in_dim(x, starts[i], clen, 0)
+                 for i in range(n_chunks)], axis=0)
         else:
             seed_x = x
         centroids = kmeans_plusplus_init(seed_x, k, sub, dist_mode)
     else:
         centroids = init_centroids
 
-    @jax.jit
-    def step(centroids, key):
-        assign = kmeans_assign(x, centroids, dist_mode, chunk)
-        sums, counts = kmeans_stats(x, assign, k, chunk)
+    @partial(jax.jit, static_argnames=("k_", "dist_mode_", "chunk_"))
+    def step(x, centroids, key, k_, dist_mode_, chunk_):
+        # x passed as an argument: closing over it would bake a
+        # corpus-sized constant into the executable
+        assign = kmeans_assign(x, centroids, dist_mode_, chunk_)
+        sums, counts = kmeans_stats(x, assign, k_, chunk_)
         new = sums / jnp.maximum(counts, 1.0)[:, None]
-        # dead clusters: re-seed from random rows (broadcast-free restart)
+        # dead clusters: re-seed from contiguous random slices
+        # (row gathers on corpus-sized tables are pathological on some
+        # TPU stacks; a dynamic slice of k rows is equivalent here)
         key, sub = jax.random.split(key)
-        rand_rows = jax.random.randint(sub, (k,), 0, n)
-        restart = x[rand_rows].astype(jnp.float32)
+        start = jax.random.randint(sub, (), 0, x.shape[0] - k_)
+        restart = jax.lax.dynamic_slice_in_dim(
+            x, start, k_, 0).astype(jnp.float32)
         empty = (counts < 0.5)[:, None]
         new = jnp.where(empty, restart, new)
         return new.astype(x.dtype), key
 
     for _ in range(iters):
-        centroids, key = step(centroids, key)
+        centroids, key = step(x, centroids, key, k, dist_mode, chunk)
     assign = kmeans_assign(x, centroids, dist_mode, chunk)
     return centroids, assign
