@@ -105,15 +105,32 @@ def reconstruct(codes: jnp.ndarray, codebooks: jnp.ndarray,
     return picked.reshape(codes.shape[0], M * d)
 
 
-@partial(jax.jit, static_argnames=("pq_type",))
+@partial(jax.jit, static_argnames=("pq_type", "chunk"))
 def reconstruction_mse(emb: jnp.ndarray, codes: jnp.ndarray,
-                       codebooks: jnp.ndarray, pq_type: str = "rq"
-                       ) -> jnp.ndarray:
+                       codebooks: jnp.ndarray, pq_type: str = "rq",
+                       chunk: int = 65536) -> jnp.ndarray:
     """Mean squared residual after reconstruction (index-quality metric;
     the training-loss variant per ``pq.py:743-766`` stacks per-level
-    residuals — see train/losses.py)."""
-    rec = reconstruct(codes, codebooks, pq_type)
-    return jnp.mean((emb.astype(jnp.float32) - rec.astype(jnp.float32))**2)
+    residuals — see train/losses.py).  Chunked: the (n, M, d) picked
+    centroids never materialize (11GB+ at corpus scale)."""
+    from .topk import chunk_ids_clamped
+    n = emb.shape[0]
+    c = min(chunk, n)
+    num_chunks = -(-n // c)
+
+    def body(acc, ci):
+        start, ids = chunk_ids_clamped(ci, c, n)
+        e = jax.lax.dynamic_slice_in_dim(emb, start, c, 0)
+        cd = jax.lax.dynamic_slice_in_dim(codes, start, c, 0)
+        rec = reconstruct(cd, codebooks, pq_type)
+        sq = jnp.sum((e.astype(jnp.float32) - rec.astype(jnp.float32))**2,
+                     axis=-1)
+        sq = jnp.where(ids >= 0, sq, 0.0)
+        return acc + jnp.sum(sq), None
+
+    total, _ = jax.lax.scan(body, jnp.float32(0.0),
+                            jnp.arange(num_chunks))
+    return total / (n * emb.shape[1])
 
 
 # --------------------------------------------------------------------------
