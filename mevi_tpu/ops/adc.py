@@ -1,0 +1,90 @@
+"""ADC (asymmetric distance computation) top-k scan over RQ/PQ codes.
+
+Scores every document from its quantization code instead of its full
+embedding — the classic PQ/ADC fast scan (faiss's IndexPQ search;
+Quick(er)-ADC papers), reshaped for the MXU:
+
+* build time: codes (n, M) -> a **one-hot code matrix** ``(n, M*K)``
+  stored int8 (for RQ 4x32 that is 128 int8 per doc = 12x less HBM
+  traffic than a 768-dim bf16 embedding),
+* query time: per-level lookup tables ``T[m, k] = <q, codebook[m, k]>``
+  (a tiny (M*K, d) x (d, B) matmul), then
+
+      scores = onehot @ T.reshape(M*K, B)
+
+  — one (n, 128) x (128, B) matmul: ADC table lookups become an
+  MXU-perfect contraction with K*M = 128 inner dimension; no gathers.
+
+For inner product the decomposition is exact w.r.t. the reconstruction:
+``<q, sum_m c_m> = sum_m <q, c_m>``.  (L2-ADC across residual levels has
+cross terms; serve IP — the reference's fine scores are inner products,
+``document_encoder.py:128-132``.)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .topk import chunk_ids_clamped, streaming_topk
+
+
+def build_adc_codes(codes: np.ndarray, kary: int) -> np.ndarray:
+    """(n, M) int codes -> (n, M*K) int8 one-hot code matrix."""
+    codes = np.asarray(codes)
+    n, M = codes.shape
+    out = np.zeros((n, M * kary), np.int8)
+    rows = np.arange(n)
+    for m in range(M):
+        out[rows, m * kary + codes[:, m]] = 1
+    return out
+
+
+@partial(jax.jit, static_argnames=())
+def adc_tables(qemb: jnp.ndarray, codebooks: jnp.ndarray) -> jnp.ndarray:
+    """Per-query level tables: (B, d) x (M, K, d) -> (M*K, B) f32."""
+    M, K, d = codebooks.shape
+    flat = codebooks.reshape(M * K, d).astype(jnp.float32)
+    return jax.lax.dot_general(
+        flat, qemb.astype(jnp.float32),
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)           # (M*K, B)
+
+
+@partial(jax.jit, static_argnames=("k", "chunk"))
+def adc_topk(onehot: jnp.ndarray, tables: jnp.ndarray, k: int,
+             chunk: int = 262144) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Approximate top-k by ADC scores.
+
+    onehot: (n, M*K) int8 code matrix; tables: (M*K, B).
+    Returns (scores (B, k), doc ids (B, k)).
+    """
+    n = onehot.shape[0]
+    B = tables.shape[1]
+    chunk = min(chunk, n)
+    num_chunks = -(-n // chunk)
+    k = min(k, n)
+
+    # bf16 mixed dot is a TPU MXU path; CPU (tests) lacks the kernel
+    cd = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
+
+    def score_chunk(c):
+        start, ids = chunk_ids_clamped(c, chunk, n)
+        block = jax.lax.dynamic_slice_in_dim(onehot, start, chunk, 0)
+        s = jax.lax.dot_general(
+            block.astype(cd), tables.astype(cd),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)       # (chunk, B)
+        return s.T, ids                               # (B, chunk)
+
+    return streaming_topk(score_chunk, num_chunks, k, (B,))
+
+
+def adc_search(qemb, codebooks, onehot, k: int, chunk: int = 262144):
+    """Convenience: tables + scan. qemb (B, d) -> (scores, ids) (B, k)."""
+    tables = adc_tables(qemb, codebooks)
+    return adc_topk(onehot, tables, k, chunk)
