@@ -168,6 +168,30 @@ def cmd_search(args):
                                                 cfg.rq.emb_size))
     queries = np.asarray(dio.open_embedding_memmap(args.query_embeddings,
                                                    cfg.rq.emb_size))
+    if args.adc_codes:
+        # ADC scan over RQ codes (ops/adc.py) instead of full embeddings
+        from ..ops.adc import adc_search, build_adc_codes
+        codes = np.load(args.adc_codes)
+        cbs = jnp.asarray(np.load(args.adc_codebooks))
+        oh = jnp.asarray(build_adc_codes(codes, cfg.rq.kary))
+        out_scores, out_ids = [], []
+        t0 = time.time()
+        for s in range(0, len(queries), args.batch):
+            sc, ids = adc_search(jnp.asarray(queries[s:s + args.batch]),
+                                 cbs, oh, k=args.topk)
+            out_scores.append(np.asarray(sc))
+            out_ids.append(np.asarray(ids))
+        print(f"ADC: {len(queries)} queries in {time.time()-t0:.2f}s",
+              file=sys.stderr)
+        if args.output:
+            with open(args.output, "w") as fw:
+                ids = np.concatenate(out_ids)
+                scs = np.concatenate(out_scores)
+                for i in range(len(ids)):
+                    fw.write("\t".join([
+                        str(i), "", str(ids[i].tolist()),
+                        str([float(x) for x in scs[i]])]) + "\n")
+        return
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     docs_d = jnp.asarray(docs, dtype)
     if args.profile:
@@ -546,6 +570,10 @@ def build_parser():
     sp.add_argument("--bf16", action="store_true")
     sp.add_argument("--profile", action="store_true",
                     help="latency profile across batch sizes")
+    sp.add_argument("--adc_codes", default=None,
+                    help="rq_codes.npy: ADC scan instead of exact MIPS")
+    sp.add_argument("--adc_codebooks", default=None,
+                    help="rq_codebooks.npy (required with --adc_codes)")
     sp.add_argument("--output", default=None)
     sp.set_defaults(fn=cmd_search)
 
