@@ -102,3 +102,35 @@ def test_ensemble_cmd(tmp_path, rng, capsys):
           "--recall_num", "1,2"])
     out = capsys.readouterr().out
     assert "R@1=1.0" in out
+
+
+def test_search_cmd_adc(tmp_path, rng, capsys):
+    import jax
+    import jax.numpy as jnp
+    from mevi_tpu.ops import rq as rq_ops
+    docs = rng.normal(size=(80, 16)).astype(np.float32)
+    cbs, codes = rq_ops.rq_train(jnp.asarray(docs), 2, 4, iters=5,
+                                 key=jax.random.PRNGKey(0))
+    qs = docs[:3]
+    dp = str(tmp_path / "docemb.bin")
+    qp = str(tmp_path / "qemb.bin")
+    io.write_embedding_memmap(dp, docs)
+    io.write_embedding_memmap(qp, qs)
+    np.save(str(tmp_path / "codes.npy"), np.asarray(codes))
+    np.save(str(tmp_path / "cbs.npy"), np.asarray(cbs))
+    from mevi_tpu.config import EncoderConfig, MEVIConfig, RQConfig
+    cfg = MEVIConfig(rq=RQConfig(subvector_num=2, subvector_bits=2,
+                                 emb_size=16),
+                     encoder=EncoderConfig(d_model=16))
+    cfgp = str(tmp_path / "cfg.json")
+    with open(cfgp, "w") as fw:
+        fw.write(cfg.to_json())
+    out_p = str(tmp_path / "adc.tsv")
+    main(["search", "--config", cfgp, "--doc_embeddings", dp,
+          "--query_embeddings", qp, "--topk", "5",
+          "--adc_codes", str(tmp_path / "codes.npy"),
+          "--adc_codebooks", str(tmp_path / "cbs.npy"),
+          "--output", out_p])
+    preds, scores, _ = io.parse_result_tsv(
+        out_p, {"query": 0, "pred": 2, "score": 3})
+    assert len(preds) == 3 and all(len(v) == 5 for v in preds.values())
