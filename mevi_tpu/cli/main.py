@@ -85,7 +85,8 @@ def cmd_tokenize(args):
     from ..data import io as dio
     from ..data.tokenize import (get_tokenizer, tokenize_passages,
                                  tokenize_queries)
-    tok = get_tokenizer(args.style)
+    tok = get_tokenizer(args.style,
+                        allow_hash_fallback=args.allow_hash_tokenizer)
     if args.kind == "corpus":
         rows = []
         with open(args.input, encoding="utf-8") as fr:
@@ -302,7 +303,8 @@ def cmd_doc2query(args):
     from ..models import convert
     from ..models.t5 import T5Dims, T5Model
 
-    tok = get_tokenizer("ance")  # t5 tokenizer
+    tok = get_tokenizer("ance",  # t5 tokenizer
+                        allow_hash_fallback=args.allow_hash_tokenizer)
     sd = convert.load_torch_state_dict(args.checkpoint)
     params = convert.convert_t5_model(sd, args.num_layers,
                                       args.num_layers)
@@ -425,6 +427,182 @@ def cmd_train(args):
     logger.close()
 
 
+def cmd_train_joint(args):
+    """Joint NCI + codebook + twin training (the reference's
+    ``--codebook 1`` mode, ``main.py:36-174`` + ``main_models.py:
+    2838-2867``): runtime RQ labels from the live tower, PQ distillation,
+    in-cluster-negative co-loss, optional EMA codebook updates,
+    alternating NCI/twin stages, validation-driven RQ refit with
+    Hungarian alignment, gradient accumulation and --resume."""
+    import jax
+    import jax.numpy as jnp
+    from ..data import io as dio
+    from ..data.datasets import ClusterNegativeSampler, JointDataset
+    from ..models.nci import NCIDims, NCIT5
+    from ..models.t5 import T5Dims
+    from ..models.twin_tower import tower_from_config
+    from ..ops import rq as rq_ops
+    from ..train import joint as J
+    from ..train import trainer as T
+    from ..train.loop import LoopConfig, TrainLoop
+
+    cfg = load_config(args.config)
+    m, tcfg = cfg.model, cfg.train
+    dims = NCIDims(
+        t5=T5Dims(vocab_size=m.vocab_size, d_model=m.d_model,
+                  d_kv=m.d_kv, d_ff=m.d_ff, num_heads=m.num_heads,
+                  num_layers=m.num_layers,
+                  num_decoder_layers=m.num_decoder_layers,
+                  dropout_rate=m.dropout_rate),
+        kary=m.kary, max_output_length=m.max_output_length,
+        adaptor_layer_num=m.adaptor_layer_num,
+        adaptor_num_heads=m.adaptor_num_heads)
+    nci = NCIT5(dims)
+    tower = tower_from_config(cfg.encoder)
+
+    # ---- data -----------------------------------------------------------
+    qids, qmask = dio.open_token_memmaps(args.queries, args.query_length)
+    dtok, dmask = dio.open_token_memmaps(args.documents, args.doc_length)
+    rows = dio.read_query_docids_tsv(args.train_tsv)
+    pos_doc = np.array([ids[0] for _, ids in rows], np.int64)
+    n = min(len(pos_doc), len(qids))
+    qids = np.asarray(qids, np.int32)[:n]
+    qmask = np.asarray(qmask, np.int32)[:n]
+    pos_doc = pos_doc[:n]
+    dtok = np.asarray(dtok, np.int32)
+    dmask = np.asarray(dmask, np.int32)
+
+    sampler = None
+    if args.codes and tcfg.co_neg_num > 0 and not tcfg.no_twin_loss:
+        sampler = ClusterNegativeSampler(np.load(args.codes), m.kary)
+    ds = JointDataset(qids, qmask, pos_doc, dtok, dmask, sampler,
+                      n_neg=tcfg.co_neg_num if sampler else 0)
+
+    # ---- params ---------------------------------------------------------
+    key = jax.random.PRNGKey(tcfg.seed)
+    nci_params = nci.init(
+        key, jnp.zeros((1, args.query_length), jnp.int32),
+        jnp.ones((1, args.query_length), jnp.int32),
+        jnp.zeros((1, m.max_output_length), jnp.int32))["params"]
+    tower_params = tower.module.init(
+        jax.random.PRNGKey(tcfg.seed + 1),
+        jnp.zeros((1, args.doc_length), jnp.int32),
+        jnp.ones((1, args.doc_length), jnp.int32))["params"]
+    if args.tower_ckpt:
+        from ..models import convert
+        tsd = convert.load_torch_state_dict(args.tower_ckpt)
+        if cfg.encoder.family == "t5":
+            tower_params = convert.convert_t5_model(
+                tsd, cfg.encoder.num_layers, cfg.encoder.num_layers)
+        else:
+            tower_params = convert.convert_bert_model(
+                tsd, cfg.encoder.num_layers)
+    if args.codebooks:
+        codebooks = jnp.asarray(np.load(args.codebooks))
+    else:
+        codebooks = jax.random.normal(
+            jax.random.PRNGKey(tcfg.seed + 2),
+            (cfg.rq.subvector_num, cfg.rq.kary, cfg.rq.last_dim)) * 0.02
+    params = {"nci": nci_params, "tower": tower_params,
+              "codebooks": codebooks}
+
+    def tower_rep(tparams, ids, mask):
+        return tower.rep(tparams, ids, mask)
+
+    # ---- optimizer: fix* -> frozen label; MultiSteps accumulation ------
+    bs = tcfg.train_batch_size
+    steps_per_epoch = max(len(ds) // bs, 1)
+    total = steps_per_epoch * tcfg.num_train_epochs
+    labels = J.joint_param_labels(
+        params, fixnci=tcfg.fixnci,
+        fixpq=tcfg.fixpq or args.pq_update == "ema",
+        fixdocenc=tcfg.fixdocenc)
+    opt = T.make_optimizer(tcfg, params, total_steps=total, labels=labels)
+    state = T.init_state(params, opt)
+
+    scfg = J.JointStepConfig(
+        pq_loss=tcfg.pq_loss, pq_softmax_tau=tcfg.pq_softmax_tau,
+        pq_negative=tcfg.pq_negative,
+        centroid_update_loss=tcfg.centroid_update_loss,
+        centroid_loss_scale=tcfg.centroid_loss_scale,
+        no_nci_loss=tcfg.no_nci_loss, no_twin_loss=tcfg.no_twin_loss,
+        dist_mode=cfg.rq.dist_mode, rdrop=m.rdrop)
+
+    if args.pq_update == "ema":
+        ema_box = [rq_ops.ema_init(codebooks)]
+        ema_step = J.make_joint_train_step_ema(nci, tower_rep, opt, scfg)
+
+        def joint_step(state, batch, rng):
+            state, ema_box[0], metrics = ema_step(state, ema_box[0],
+                                                  batch, rng)
+            return state, metrics
+    else:
+        joint_step = J.make_joint_train_step(nci, tower_rep, opt, scfg)
+
+    # alternating stages re-use the joint step with one side's loss off
+    steps = {"nci": joint_step}
+    alt = None
+    if args.alt_epochs:
+        a, c = (int(x) for x in args.alt_epochs.split(","))
+        alt = (a, c)
+        twin_cfg = dataclasses_replace(scfg, no_nci_loss=True)
+        nci_cfg = dataclasses_replace(scfg, no_twin_loss=True)
+        steps = {"nci": J.make_joint_train_step(nci, tower_rep, opt,
+                                                nci_cfg),
+                 "twin": J.make_joint_train_step(nci, tower_rep, opt,
+                                                 twin_cfg)}
+        if args.pq_update == "ema":
+            steps["nci"] = joint_step   # EMA rides the nci stage
+
+    rng = np.random.default_rng(tcfg.seed)
+
+    def dataset_fn(epoch):
+        for batch in ds.batches(bs, rng):
+            yield {k: jnp.asarray(v) for k, v in batch.items()}
+
+    # optional validation inputs (dev tsv + corpus tokens drive the RQ
+    # refit + coarse/fine eval each val_every epochs)
+    eval_inputs = None
+    if args.dev_tsv:
+        from ..data.tokenize import get_tokenizer, tokenize_queries
+        dev = dio.read_query_docids_tsv(args.dev_tsv)
+        tok = get_tokenizer(
+            "ance" if cfg.encoder.family == "t5" else "ar2",
+            allow_hash_fallback=bool(args.allow_hash_tokenizer))
+        dq_ids, dq_mask = tokenize_queries([q for q, _ in dev], tok,
+                                           args.query_length)
+        eval_inputs = {"queries": [q for q, _ in dev],
+                       "query_ids": dq_ids, "query_mask": dq_mask,
+                       "gt_docids": [ids for _, ids in dev]}
+
+    loop_cfg = LoopConfig(
+        num_epochs=args.max_epochs or tcfg.num_train_epochs,
+        val_every=args.val_every, refit_rq=bool(args.dev_tsv),
+        rq_iters=args.rq_iters, alt_epochs=alt, monitor=args.monitor,
+        seed=tcfg.seed)
+    tl = TrainLoop(cfg, loop_cfg, nci, steps, state, dataset_fn,
+                   tower_rep=tower_rep, doc_tokens=dtok, doc_masks=dmask,
+                   eval_inputs=eval_inputs,
+                   ckpt_dir=osp.join(cfg.ckpt_dir, "joint"),
+                   log_dir=args.log_dir or cfg.ckpt_dir)
+    if args.resume:
+        tag = None if args.resume in ("1", "best", "auto") else args.resume
+        if tl.resume(tag):
+            print(f"resumed from epoch {tl.start_epoch}")
+    qrep = None
+    if args.dev_tsv:
+        # read the live tower params at validation time, not a stale copy
+        def qrep(i, mk):
+            return tower_rep(tl.state.params["tower"], i, mk)
+    state = tl.run(query_rep_fn=qrep)
+    print(f"done: step {int(state.step)}")
+
+
+def dataclasses_replace(obj, **kw):
+    import dataclasses
+    return dataclasses.replace(obj, **kw)
+
+
 def cmd_eval(args):
     """Coarse/fine evaluation (the marco_eval_nci_rq.sh stage)."""
     import jax
@@ -492,7 +670,8 @@ def cmd_eval(args):
     rows = dio.read_query_docids_tsv(args.dev_tsv)
     queries = [q for q, _ in rows]
     gts = [ids for _, ids in rows]
-    tok = get_tokenizer("ance" if cfg.encoder.family == "t5" else "ar2")
+    tok = get_tokenizer("ance" if cfg.encoder.family == "t5" else "ar2",
+                        allow_hash_fallback=args.allow_hash_tokenizer)
     qids, qmask = tokenize_queries(queries, tok, args.query_length)
 
     icfg = InferConfig(
@@ -505,9 +684,21 @@ def cmd_eval(args):
                    query_rep_fn=rep_fn, doc_codes=codes)
     from ..utils.timers import profiler_trace
     with profiler_trace(args.profile_dir):
-        out = ev.evaluate(queries, qids, qmask, gts,
-                          batch_size=args.batch_size,
-                          keep_results=bool(args.save_path))
+        if args.nq_answer_offsets:
+            # NQ answer-set mode (nqdpr_eval_nci_rq.sh): hits via the
+            # inverse doc->answering-query arrays, not gt doc ids
+            from ..eval.ensemble import AnswerIndex
+            aidx = AnswerIndex.from_files(args.nq_answer_offsets,
+                                          args.nq_answer_array)
+            out = ev.evaluate_nq(queries, qids, qmask,
+                                 query_indices=list(range(len(queries))),
+                                 answer_index=aidx,
+                                 batch_size=args.batch_size,
+                                 keep_results=bool(args.save_path))
+        else:
+            out = ev.evaluate(queries, qids, qmask, gts,
+                              batch_size=args.batch_size,
+                              keep_results=bool(args.save_path))
     report = {"ndoc_per_query": out.ndoc_per_query}
     if out.coarse:
         report["coarse"] = out.coarse
@@ -541,6 +732,8 @@ def build_parser():
     sp.add_argument("--input", required=True)
     sp.add_argument("--output", required=True)
     sp.add_argument("--length", type=int, default=128)
+    sp.add_argument("--allow_hash_tokenizer", action="store_true",
+                    help="permit the offline HashTokenizer stub")
     sp.set_defaults(fn=cmd_tokenize)
 
     sp = sub.add_parser("gen-embeddings")
@@ -609,6 +802,7 @@ def build_parser():
     sp.add_argument("--num_layers", type=int, default=12)
     sp.add_argument("--batch", type=int, default=32)
     sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--allow_hash_tokenizer", action="store_true")
     sp.set_defaults(fn=cmd_doc2query)
 
     sp = sub.add_parser("train")
@@ -624,6 +818,38 @@ def build_parser():
     sp.add_argument("--log_every", type=int, default=50)
     sp.add_argument("--max_epochs", type=int, default=0)
     sp.set_defaults(fn=cmd_train)
+
+    sp = sub.add_parser("train-joint")
+    sp.add_argument("--config", default=None)
+    sp.add_argument("--queries", required=True,
+                    help="query token memmap prefix")
+    sp.add_argument("--query_length", type=int, default=32)
+    sp.add_argument("--train_tsv", required=True,
+                    help="query -> docid tsv (row-aligned to queries)")
+    sp.add_argument("--documents", required=True,
+                    help="corpus token memmap prefix")
+    sp.add_argument("--doc_length", type=int, default=128)
+    sp.add_argument("--codebooks", default=None,
+                    help="rq_codebooks.npy initial codebooks")
+    sp.add_argument("--codes", default=None,
+                    help="rq_codes.npy for in-cluster negative sampling")
+    sp.add_argument("--tower_ckpt", default=None,
+                    help="torch state dict for the twin tower")
+    sp.add_argument("--pq_update", choices=["grad", "ema"],
+                    default="grad")
+    sp.add_argument("--alt_epochs", default=None,
+                    help="'a,c': nci for a of every c epochs, twin rest")
+    sp.add_argument("--dev_tsv", default=None,
+                    help="dev tsv enabling RQ-refit validation")
+    sp.add_argument("--val_every", type=int, default=1)
+    sp.add_argument("--rq_iters", type=int, default=10)
+    sp.add_argument("--monitor", default="recall100")
+    sp.add_argument("--resume", default=None,
+                    help="'best' or a checkpoint tag to resume from")
+    sp.add_argument("--max_epochs", type=int, default=0)
+    sp.add_argument("--log_dir", default=None)
+    sp.add_argument("--allow_hash_tokenizer", action="store_true")
+    sp.set_defaults(fn=cmd_train_joint)
 
     sp = sub.add_parser("eval")
     sp.add_argument("--config", default=None)
@@ -643,6 +869,11 @@ def build_parser():
     sp.add_argument("--save_path", default=None)
     sp.add_argument("--profile_dir", default=None,
                     help="write a jax.profiler trace here")
+    sp.add_argument("--allow_hash_tokenizer", action="store_true")
+    sp.add_argument("--nq_answer_offsets", default=None,
+                    help="test_inverse_offsets.bin: NQ answer-set mode")
+    sp.add_argument("--nq_answer_array", default=None,
+                    help="test_inverse_array.bin (with --nq_answer_offsets)")
     sp.set_defaults(fn=cmd_eval)
     return p
 

@@ -173,6 +173,47 @@ class FileNegativeSampler:
         return rng.choice(cands, size=n_neg, replace=replace)
 
 
+@dataclasses.dataclass
+class JointDataset:
+    """Batches for the joint NCI+codebook+twin step (``--codebook 1``
+    training, ``main_models.py:2197-2584``): per query — query tokens,
+    the positive passage's tokens, and ``n_neg`` in-cluster hard
+    negatives' tokens.  Codes/labels are assigned at runtime from the
+    live tower + codebooks (``pq_runtime_label``), so no code array is
+    materialized here."""
+    query_ids: np.ndarray     # (n, Lq)
+    query_mask: np.ndarray
+    pos_doc: np.ndarray       # (n,) int positive doc id
+    doc_tokens: np.ndarray    # (ndoc, Ld)
+    doc_masks: np.ndarray
+    sampler: Optional[ClusterNegativeSampler] = None
+    n_neg: int = 7
+
+    def __len__(self):
+        return len(self.query_ids)
+
+    def batches(self, batch_size: int, rng: np.random.Generator,
+                shuffle: bool = True) -> Iterator[Dict[str, np.ndarray]]:
+        n = len(self)
+        order = rng.permutation(n) if shuffle else np.arange(n)
+        for s in range(0, n - (n % batch_size), batch_size):
+            idx = order[s:s + batch_size]
+            pos = self.pos_doc[idx]
+            batch = {
+                "query_ids": self.query_ids[idx],
+                "query_mask": self.query_mask[idx],
+                "pos_doc_ids": self.doc_tokens[pos],
+                "pos_doc_mask": self.doc_masks[pos],
+            }
+            if self.sampler is not None and self.n_neg > 0:
+                negs = np.stack([
+                    self.sampler.sample(int(p), self.n_neg, rng)
+                    for p in pos])                       # (b, n_neg)
+                batch["neg_doc_ids"] = self.doc_tokens[negs]
+                batch["neg_doc_mask"] = self.doc_masks[negs]
+            yield batch
+
+
 def alternating_batches(iter_a, iter_b, ratio: Tuple[int, int],
                         ) -> Iterator[Tuple[str, Dict]]:
     """Interleave two batch streams by a (a_count, b_count) ratio — the

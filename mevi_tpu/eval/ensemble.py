@@ -141,6 +141,29 @@ class AnswerIndex:
         s, e = self.offsets[doc], self.offsets[doc + 1]
         return bool(np.isin(qind, self.array[s:e]).item())
 
+    def query_clusters(self, cluster_of_doc: np.ndarray,
+                       n_queries: int) -> "tuple[np.ndarray, np.ndarray]":
+        """Invert to query -> sorted unique clusters containing an
+        answering doc (CSR).  One O(nnz) pass replaces the per-beam
+        cluster-member python loop at eval time
+        (``main_models.py:3744-3756`` did the same walk per query)."""
+        nnz = len(self.array)
+        # doc index of every (doc, query) pair
+        doc_of = np.repeat(np.arange(len(self.offsets) - 1),
+                           np.diff(self.offsets))
+        q = self.array[:nnz]
+        clus = cluster_of_doc[doc_of]
+        order = np.lexsort((clus, q))
+        q_s, c_s = q[order], clus[order]
+        # unique (query, cluster) pairs
+        keep = np.ones(len(q_s), bool)
+        keep[1:] = (q_s[1:] != q_s[:-1]) | (c_s[1:] != c_s[:-1])
+        q_u, c_u = q_s[keep], c_s[keep]
+        offsets = np.zeros(n_queries + 1, np.int64)
+        np.add.at(offsets, q_u + 1, 1)
+        np.cumsum(offsets, out=offsets)
+        return offsets, c_u.astype(np.int64)
+
     def first_hit_rank(self, qind: int,
                        ranked_docs: Sequence[int]) -> Optional[int]:
         """First rank whose doc answers the query

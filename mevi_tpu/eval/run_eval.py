@@ -203,6 +203,20 @@ class Evaluator:
         host_ids = (np.asarray(self.fine_index.host_doc_ids)
                     if self.fine_index is not None and
                     self.fine_index.host_doc_ids is not None else None)
+        q_clus_off = q_clus = None
+        if cfg.recall_level in ("coarse", "both") and host_off is not None:
+            # vectorized coarse hit check: invert the answer arrays to
+            # query -> answering clusters ONCE (O(nnz)); the per-beam
+            # cluster-member walk is then a tiny np.isin per query
+            n_docs = len(host_ids)
+            cluster_of_doc = np.zeros(n_docs, np.int64)
+            cluster_of_doc[host_ids] = np.repeat(
+                np.arange(len(host_off) - 1), np.diff(host_off))
+            nq_total = int(answer_index.array.max()) + 1 \
+                if len(answer_index.array) else 1
+            nq_total = max(nq_total, int(max(query_indices)) + 1)
+            q_clus_off, q_clus = answer_index.query_clusters(
+                cluster_of_doc, nq_total)
         for s in range(0, n, batch_size):
             sl = slice(s, min(s + batch_size, n))
             (qi, qm), real = pad_batch(
@@ -217,18 +231,12 @@ class Evaluator:
                 results.append(res)
             for b in range(real):
                 qind = int(query_indices[sl.start + b])
-                if cfg.recall_level in ("coarse", "both") and \
-                        host_off is not None:
-                    hit = -1
+                if q_clus_off is not None:
                     cidx = pack_codes(res.beam_codes[b],
                                       self.fine_index.kary)
-                    for j, c in enumerate(cidx):
-                        members = host_ids[host_off[c]:host_off[c + 1]]
-                        if any(answer_index.doc_answers_query(int(d),
-                                                              qind)
-                               for d in members):
-                            hit = j
-                            break
+                    mine = q_clus[q_clus_off[qind]:q_clus_off[qind + 1]]
+                    isin = np.isin(cidx, mine)
+                    hit = int(isin.argmax()) if isin.any() else -1
                     coarse_hits.append(hit)
                 if res.fine_ids is not None:
                     rank = answer_index.first_hit_rank(

@@ -52,15 +52,22 @@ class JointParams(dict):
     """{'nci': ..., 'tower': ..., 'codebooks': (M, K, d)}"""
 
 
-def joint_param_labels(params) -> Any:
+def joint_param_labels(params, fixnci: bool = False, fixpq: bool = False,
+                       fixdocenc: bool = False) -> Any:
+    """Optimizer label tree; the ``fix*`` switches route whole parts to
+    the 'frozen' (set_to_zero) transform — the reference freezes via
+    ``requires_grad=False`` per part (``fixnci/fixpq/fixdocenc``,
+    ``main_models.py:1594-1641``)."""
     from .trainer import _path_str
 
     def label(path, _):
         parts = _path_str(path).split("/")
         if parts[0] == "codebooks":
-            return "docenc"                    # codebook LR group
+            return "frozen" if fixpq else "docenc"   # codebook LR group
         if parts[0] == "tower":
-            return "docenc"
+            return "frozen" if fixdocenc else "docenc"
+        if fixnci:
+            return "frozen"
         top = parts[1] if len(parts) > 1 else parts[0]
         return "encoder" if top in ("shared", "encoder") else "decoder"
     return jax.tree_util.tree_map_with_path(label, params)

@@ -79,8 +79,39 @@ class TrainLoop:
         self.codebooks: Optional[np.ndarray] = None
         self.doc_codes: Optional[np.ndarray] = None
         self.fine_index = None
+        self.start_epoch = 0
         self._rng = np.random.default_rng(loop.seed)
         self._key = jax.random.PRNGKey(loop.seed)
+
+    # -- resume (reference: --resume_from_checkpoint, main.py:128,158;
+    #    hyperparameter surgery try_modify_ckpt is unnecessary here — the
+    #    config lives outside the checkpoint) ------------------------------
+
+    def save_state(self, tag: str, metric: Optional[float] = None,
+                   force: bool = False):
+        """Full-state checkpoint (params + opt state + step + epoch)."""
+        payload = {"params": self.state.params,
+                   "opt_state": self.state.opt_state,
+                   "step": self.state.step,
+                   "epoch": np.asarray(self.start_epoch, np.int32)}
+        return self.ckpts.save(tag, payload, metric=metric, force=force)
+
+    def resume(self, tag: Optional[str] = None) -> bool:
+        """Restore the full train state from ``tag`` (or the best saved
+        checkpoint); returns True when something was restored."""
+        from .trainer import TrainState
+        tag = tag or self.ckpts.best_tag()
+        if tag is None:
+            return False
+        template = {"params": self.state.params,
+                    "opt_state": self.state.opt_state,
+                    "step": self.state.step,
+                    "epoch": np.asarray(0, np.int32)}
+        restored = self.ckpts.restore(tag, template)
+        self.state = TrainState(restored["params"], restored["opt_state"],
+                                restored["step"])
+        self.start_epoch = int(restored["epoch"]) + 1
+        return True
 
     # -- stage scheduling (alt NCI / twin) --------------------------------
 
@@ -147,7 +178,8 @@ class TrainLoop:
     # -- main loop ----------------------------------------------------------
 
     def run(self, query_rep_fn=None) -> Any:
-        for epoch in range(self.loop.num_epochs):
+        for epoch in range(self.start_epoch, self.loop.num_epochs):
+            self.start_epoch = epoch
             stage = self.stage_for_epoch(epoch)
             step = self.steps[stage]
             metrics = {}
@@ -170,7 +202,8 @@ class TrainLoop:
                     self.logger.log(val, int(self.state.step))
                     metric = val.get(self.loop.monitor,
                                      val.get("recall100", 0.0))
-                    self.ckpts.save(f"epoch{epoch}",
-                                    {"params": self.state.params},
-                                    metric=metric)
+                else:
+                    # no eval set: rank checkpoints by train loss
+                    metric = -float(metrics.get("loss", 0.0))
+                self.save_state(f"epoch{epoch}", metric=metric)
         return self.state

@@ -95,7 +95,14 @@ def make_optimizer(cfg: TrainConfig, params, total_steps: int,
         "docenc": adamw(cfg.docenc_learning_rate, 0.0),
         "frozen": optax.set_to_zero(),
     }
-    return optax.multi_transform(transforms, labels)
+    opt = optax.multi_transform(transforms, labels)
+    if cfg.gradient_accumulation > 1:
+        # reference derives accumulation as max(8/ngpu, 1)
+        # (main.py:739-740); here an explicit config knob applied as
+        # optax.MultiSteps — updates fire every k-th microbatch
+        opt = optax.MultiSteps(opt, every_k_schedule=int(
+            cfg.gradient_accumulation))
+    return opt
 
 
 def init_state(params, optimizer) -> TrainState:

@@ -144,6 +144,172 @@ int match_answers(const char* passages, const int64_t* p_offsets,
 }
 
 // ---------------------------------------------------------------------------
+// Word-boundary NQ answer matching (DPR SimpleTokenizer semantics,
+// dataprocess/NQ_dpr/get_answers.py:36-141):
+//   * tokens are runs of codepoints in categories L/N/M, or single
+//     non-whitespace characters (whitespace = categories Z/C),
+//   * tokens are lowercased; an answer matches a passage when its token
+//     SEQUENCE appears contiguously in the passage's token sequence
+//     ("art" does NOT hit "start").
+// The Unicode category and lowercase tables are built by the Python side
+// from unicodedata (exact regex \p{L}\p{N}\p{M} / \p{Z}\p{C} parity):
+//   cat[cp]  : 0 = whitespace/control (skip), 1 = alnum (run),
+//              2 = other (single-char token)
+//   lower[cp]: simple lowercase mapping.
+// Tokens are compared via 64-bit FNV-1a over lowercased codepoints.
+// ---------------------------------------------------------------------------
+static const uint64_t FNV_OFF = 1469598103934665603ULL;
+static const uint64_t FNV_PRIME = 1099511628211ULL;
+
+// decode one UTF-8 codepoint; returns bytes consumed (>=1)
+static inline int utf8_decode(const unsigned char* p, int64_t avail,
+                              uint32_t* cp) {
+  unsigned char c = p[0];
+  if (c < 0x80) { *cp = c; return 1; }
+  if ((c >> 5) == 0x6 && avail >= 2) {
+    *cp = ((c & 0x1F) << 6) | (p[1] & 0x3F);
+    return 2;
+  }
+  if ((c >> 4) == 0xE && avail >= 3) {
+    *cp = ((c & 0x0F) << 12) | ((p[1] & 0x3F) << 6) | (p[2] & 0x3F);
+    return 3;
+  }
+  if ((c >> 3) == 0x1E && avail >= 4) {
+    *cp = ((c & 0x07) << 18) | ((p[1] & 0x3F) << 12)
+        | ((p[2] & 0x3F) << 6) | (p[3] & 0x3F);
+    return 4;
+  }
+  *cp = 0xFFFD;
+  return 1;
+}
+
+// tokenize text into per-token FNV hashes; returns token count (which may
+// exceed max_tokens — only the first max_tokens are written)
+static int64_t tokenize_to_hashes(const char* text, int64_t len,
+                                  const uint8_t* cat,
+                                  const uint32_t* lower,
+                                  uint64_t* out, int64_t max_tokens) {
+  const unsigned char* p = (const unsigned char*)text;
+  int64_t i = 0, nt = 0;
+  uint64_t h = FNV_OFF;
+  bool in_tok = false;
+  while (i < len) {
+    uint32_t cp;
+    int adv = utf8_decode(p + i, len - i, &cp);
+    i += adv;
+    uint8_t k = cat[cp];
+    if (k == 1) {                       // alnum: extend the run
+      uint32_t lc = lower[cp];
+      if (!in_tok) { h = FNV_OFF; in_tok = true; }
+      h = (h ^ lc) * FNV_PRIME;
+    } else {
+      if (in_tok) {                     // close the run
+        if (nt < max_tokens) out[nt] = h;
+        ++nt;
+        in_tok = false;
+      }
+      if (k == 2) {                     // single-char token
+        uint64_t h1 = (FNV_OFF ^ lower[cp]) * FNV_PRIME;
+        if (nt < max_tokens) out[nt] = h1;
+        ++nt;
+      }
+    }
+  }
+  if (in_tok) {
+    if (nt < max_tokens) out[nt] = h;
+    ++nt;
+  }
+  return nt;
+}
+
+int64_t tokenize_hashes(const char* text, int64_t len, const uint8_t* cat,
+                        const uint32_t* lower, uint64_t* out,
+                        int64_t max_tokens) {
+  return tokenize_to_hashes(text, len, cat, lower, out, max_tokens);
+}
+
+// One pass over all passages vs all queries' answer token sequences.
+// Answers are concatenated hash sequences (ans_hashes / ans_offsets) with
+// ans_query mapping each answer to its query. Emits (passage, query)
+// pairs into out_pairs (capacity pairs); returns the total number found
+// (caller re-calls with a larger buffer if > capacity).
+int64_t match_answer_sets(const char* passages, const int64_t* p_offsets,
+                          int64_t n_passages, const uint8_t* cat,
+                          const uint32_t* lower,
+                          const uint64_t* ans_hashes,
+                          const int64_t* ans_offsets,
+                          const int32_t* ans_query, int64_t n_answers,
+                          int64_t n_queries, int32_t* out_pairs,
+                          int64_t capacity) {
+  // index answers by first token hash
+  struct Bucket { uint64_t first; std::vector<int32_t> answers; };
+  std::vector<std::pair<uint64_t, int32_t>> first_tok;
+  first_tok.reserve(n_answers);
+  for (int64_t a = 0; a < n_answers; ++a) {
+    int64_t s = ans_offsets[a], e = ans_offsets[a + 1];
+    if (e > s) first_tok.emplace_back(ans_hashes[s], (int32_t)a);
+  }
+  std::sort(first_tok.begin(), first_tok.end());
+  std::vector<uint64_t> keys(first_tok.size());
+  for (size_t i = 0; i < first_tok.size(); ++i)
+    keys[i] = first_tok[i].first;
+
+  const unsigned nt = std::max(1u, std::thread::hardware_concurrency());
+  std::vector<std::thread> ts;
+  std::atomic<int64_t> next(0), cursor(0);
+  const int64_t block = 1024;
+  const int64_t MAXTOK = 4096;
+  for (unsigned t = 0; t < nt; ++t) {
+    ts.emplace_back([&]() {
+      std::vector<uint64_t> toks(MAXTOK);
+      std::vector<int64_t> qhit_epoch(n_queries, -1);
+      for (;;) {
+        int64_t s = next.fetch_add(block);
+        if (s >= n_passages) break;
+        int64_t e = std::min(n_passages, s + block);
+        for (int64_t i = s; i < e; ++i) {
+          const char* text = passages + p_offsets[i];
+          int64_t len = p_offsets[i + 1] - p_offsets[i];
+          int64_t ntk = tokenize_to_hashes(text, len, cat, lower,
+                                           toks.data(), MAXTOK);
+          if (ntk > MAXTOK) ntk = MAXTOK;
+          for (int64_t pos = 0; pos < ntk; ++pos) {
+            // all answers whose first token == toks[pos]
+            auto lo = std::lower_bound(keys.begin(), keys.end(),
+                                       toks[pos]);
+            for (size_t bi = lo - keys.begin();
+                 bi < keys.size() && keys[bi] == toks[pos]; ++bi) {
+              int32_t a = first_tok[bi].second;
+              int32_t q = ans_query[a];
+              if (qhit_epoch[q] == i) continue;     // query already hit
+              int64_t as = ans_offsets[a], ae = ans_offsets[a + 1];
+              int64_t alen = ae - as;
+              if (pos + alen > ntk) continue;
+              bool ok = true;
+              for (int64_t j = 1; j < alen; ++j) {
+                if (toks[pos + j] != ans_hashes[as + j]) {
+                  ok = false;
+                  break;
+                }
+              }
+              if (!ok) continue;
+              qhit_epoch[q] = i;
+              int64_t slot = cursor.fetch_add(1);
+              if (slot < capacity) {
+                out_pairs[slot * 2] = (int32_t)i;
+                out_pairs[slot * 2 + 1] = q;
+              }
+            }
+          }
+        }
+      }
+    });
+  }
+  for (auto& th : ts) th.join();
+  return cursor.load();
+}
+
+// ---------------------------------------------------------------------------
 // In-cluster hard negative sampling (batched).
 // offsets/doc_ids: CSR; pos_docs: (b,) positives; cluster_of: (n,) packed
 // cluster index per doc. out: (b, n_neg) negatives.

@@ -86,7 +86,8 @@ def test_eval_cli_end_to_end(tmp_path, rng, capsys):
           "--tower_ckpt", tower_p, "--embeddings", embp,
           "--codes", codesp, "--dev_tsv", dev,
           "--num_return_sequences", "3", "--recall_num", "1,5,10",
-          "--batch_size", "4", "--save_path", save])
+          "--batch_size", "4", "--save_path", save,
+          "--allow_hash_tokenizer"])
     report = json.loads(capsys.readouterr().out)
     assert "coarse" in report and "fine" in report
     assert 0.0 <= report["fine"]["recall"]["10"] <= 1.0
