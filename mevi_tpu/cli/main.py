@@ -159,6 +159,26 @@ def cmd_build_index(args):
     print(json.dumps(hist))
 
 
+def cmd_build_hier(args):
+    """Hierarchical k-means ids + prefix-cluster pickles + trie tables
+    (the non-RQ NCI id space; ``prepare_clus``,
+    ``prepare_origin.py:12-28``)."""
+    from ..data import io as dio
+    from ..index.hierarchical import (hierarchical_kmeans_ids,
+                                      save_hier_artifacts)
+    cfg = load_config(args.config)
+    emb = np.asarray(dio.open_embedding_memmap(args.embeddings,
+                                               cfg.rq.emb_size))
+    ids = hierarchical_kmeans_ids(emb, k=args.k, c=args.c,
+                                  seed=args.seed, iters=args.iters)
+    layers = [int(x) for x in args.layers.split(",")]
+    save_hier_artifacts(args.output_dir, ids, layers,
+                        kary=max(args.k, args.c))
+    lens = [len(s) for s in ids]
+    print(json.dumps({"n_docs": len(ids), "max_len": max(lens),
+                      "mean_len": round(sum(lens) / len(lens), 2)}))
+
+
 def cmd_search(args):
     import jax.numpy as jnp
     import time
@@ -295,7 +315,11 @@ def cmd_ensemble(args):
 
 def cmd_doc2query(args):
     """Generate pseudo-queries per passage (docT5query QG,
-    ``dataprocess/msmarco_passage/doc2query.py``)."""
+    ``dataprocess/msmarco_passage/doc2query.py``).  With ``--repair``,
+    run the regeneration loop instead (``complement_qg10.py``): detect
+    empty/duplicate queries in an existing qg tsv and regenerate for the
+    affected docs until every doc has ``n_gen_query`` usable queries (or
+    ``--repair_rounds`` is exhausted)."""
     import jax
     import jax.numpy as jnp
     from ..data.tokenize import get_tokenizer
@@ -310,46 +334,76 @@ def cmd_doc2query(args):
                                       args.num_layers)
     model = T5Model(T5Dims(num_layers=args.num_layers,
                            num_decoder_layers=args.num_layers,
+                           d_model=args.d_model, d_kv=args.d_kv,
+                           d_ff=args.d_ff, num_heads=args.num_heads,
                            dropout_rate=0.0))
-    key = jax.random.PRNGKey(args.seed)
+    key = [jax.random.PRNGKey(args.seed)]
     bs = args.batch
-    with open(args.corpus, encoding="utf-8") as fr, \
-            open(args.output, "w", encoding="utf-8") as fw:
-        batch_texts, batch_dids = [], []
 
-        def flush():
-            nonlocal key, batch_texts, batch_dids
-            if not batch_texts:
-                return
-            while len(batch_texts) < bs:   # static shapes
-                batch_texts.append("")
-                batch_dids.append(None)
-            enc = tok(batch_texts, max_length=args.doc_max_len,
-                      truncation=True, padding="max_length",
-                      return_tensors="np")
-            key, sub = jax.random.split(key)
+    def gen_rows(texts, dids):
+        """Generate n_gen_query queries per (text, did); static shapes."""
+        rows = []
+        for s in range(0, len(texts), bs):
+            bt = list(texts[s:s + bs])
+            bd = list(dids[s:s + bs])
+            while len(bt) < bs:
+                bt.append("")
+                bd.append(None)
+            enc = tok(bt, max_length=args.doc_max_len, truncation=True,
+                      padding="max_length", return_tensors="np")
+            key[0], sub = jax.random.split(key[0])
             out = generate(model, params,
                            jnp.asarray(enc["input_ids"], jnp.int32),
                            jnp.asarray(enc["attention_mask"], jnp.int32),
                            sub, max_length=args.query_max_len,
                            num_return_sequences=args.n_gen_query,
                            do_sample=True)
-            texts = tok.batch_decode(np.asarray(out),
-                                     skip_special_tokens=True)
-            for i, text in enumerate(texts):
-                did = batch_dids[i // args.n_gen_query]
+            dec = tok.batch_decode(np.asarray(out),
+                                   skip_special_tokens=True)
+            for i, text in enumerate(dec):
+                did = bd[i // args.n_gen_query]
                 if did is not None:
-                    fw.write(f"{text}\t{did}\n")
-            batch_texts, batch_dids = [], []
+                    rows.append((text, did))
+        return rows
 
-        for line in fr:
-            did, title, content = (line.rstrip("\n").split("\t")
-                                   + ["", ""])[:3]
-            batch_texts.append(content)
-            batch_dids.append(int(did))
-            if len(batch_texts) == bs:
-                flush()
-        flush()
+    def corpus_texts(wanted=None):
+        """(did, content) rows; restricted to `wanted` doc ids if given."""
+        out = []
+        with open(args.corpus, encoding="utf-8") as fr:
+            for line in fr:
+                did, title, content = (line.rstrip("\n").split("\t")
+                                       + ["", ""])[:3]
+                did = int(did)
+                if wanted is None or did in wanted:
+                    out.append((did, content))
+        return out
+
+    if args.repair:
+        from ..data import io as dio
+        from ..data.prepare import qg_repair
+        rows = [(q, ids[0]) for q, ids in
+                dio.read_query_docids_tsv(args.repair)]
+        for rnd in range(args.repair_rounds):
+            rows, need = qg_repair(rows, n_per_doc=args.n_gen_query)
+            if not need:
+                break
+            print(f"repair round {rnd}: {len(need)} docs need "
+                  "regeneration", file=sys.stderr)
+            todo = corpus_texts(set(need))
+            rows += gen_rows([c for _, c in todo], [d for d, _ in todo])
+        rows, need = qg_repair(rows, n_per_doc=args.n_gen_query)
+        with open(args.output, "w", encoding="utf-8") as fw:
+            for q, d in rows:
+                fw.write(f"{q}\t{d}\n")
+        print(f"repaired qg written: {len(rows)} rows, "
+              f"{len(need)} docs still short")
+        return
+
+    todo = corpus_texts()
+    rows = gen_rows([c for _, c in todo], [d for d, _ in todo])
+    with open(args.output, "w", encoding="utf-8") as fw:
+        for q, d in rows:
+            fw.write(f"{q}\t{d}\n")
 
 
 def cmd_train(args):
@@ -753,6 +807,17 @@ def build_parser():
     sp.add_argument("--iters", type=int, default=25)
     sp.set_defaults(fn=cmd_build_index)
 
+    sp = sub.add_parser("build-hier")
+    sp.add_argument("--config", default=None)
+    sp.add_argument("--embeddings", required=True)
+    sp.add_argument("--output_dir", required=True)
+    sp.add_argument("--k", type=int, default=30)
+    sp.add_argument("--c", type=int, default=30)
+    sp.add_argument("--layers", default="1,2,3")
+    sp.add_argument("--seed", type=int, default=42)
+    sp.add_argument("--iters", type=int, default=10)
+    sp.set_defaults(fn=cmd_build_hier)
+
     sp = sub.add_parser("search")
     sp.add_argument("--config", default=None)
     sp.add_argument("--doc_embeddings", required=True)
@@ -800,9 +865,16 @@ def build_parser():
     sp.add_argument("--doc_max_len", type=int, default=512)
     sp.add_argument("--query_max_len", type=int, default=64)
     sp.add_argument("--num_layers", type=int, default=12)
+    sp.add_argument("--d_model", type=int, default=768)
+    sp.add_argument("--d_kv", type=int, default=64)
+    sp.add_argument("--d_ff", type=int, default=3072)
+    sp.add_argument("--num_heads", type=int, default=12)
     sp.add_argument("--batch", type=int, default=32)
     sp.add_argument("--seed", type=int, default=0)
     sp.add_argument("--allow_hash_tokenizer", action="store_true")
+    sp.add_argument("--repair", default=None,
+                    help="existing qg tsv: run the regeneration loop")
+    sp.add_argument("--repair_rounds", type=int, default=3)
     sp.set_defaults(fn=cmd_doc2query)
 
     sp = sub.add_parser("train")

@@ -191,6 +191,8 @@ class InferConfig:
     recall_num: Tuple[int, ...] = (1, 5, 10, 20, 50, 100, 1000)
     max_cluster_docs: int = 4096     # padded per-beam gather cap (CSR path)
     eval_all_documents: bool = False # full-corpus scan instead of clusters
+    overflow: str = "scan"           # cluster > cap: 'scan' (exact, the
+                                     # reference never truncates) | 'truncate'
     save_hard_neg: int = 0
 
     def beams(self) -> int:

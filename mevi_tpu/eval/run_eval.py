@@ -80,7 +80,9 @@ class Evaluator:
         if fine_index is not None:
             from .searcher import FineReranker
             self._rerank = FineReranker(fine_index, cfg.max_cluster_docs,
-                                        max(cfg.recall_num))
+                                        max(cfg.recall_num),
+                                        overflow=getattr(cfg, "overflow",
+                                                         "scan"))
 
     def run_batch(self, queries: List[str], query_ids: np.ndarray,
                   query_mask: np.ndarray) -> EvalBatchResult:

@@ -211,10 +211,20 @@ def mask_pool_topk(scores: jnp.ndarray, starts_aligned: jnp.ndarray,
 
 class FineReranker:
     """Reusable fine re-rank: Pallas kernel path on TPU, gather fallback
-    on CPU.  Maps CSR rows back to original doc ids on host."""
+    on CPU.  Maps CSR rows back to original doc ids on host.
 
-    def __init__(self, index: FineIndex, cap: int, pool: int):
+    ``overflow='scan'`` (default): a query whose predicted clusters
+    exceed ``cap`` members falls back to an exact full-corpus scan — the
+    reference never truncates clusters (it gathers every ragged member,
+    ``main_models.py:3915-4020``; full-scan shape at 3818-3876), so
+    silent cap truncation would change results.  ``'truncate'`` keeps
+    the capped behavior (serving-speed mode)."""
+
+    def __init__(self, index: FineIndex, cap: int, pool: int,
+                 overflow: str = "scan"):
         import numpy as np
+        assert overflow in ("scan", "truncate"), overflow
+        self.overflow = overflow
         self.index = index
         self.cap, self.pool = cap, pool
         self.kary = index.kary
@@ -251,12 +261,39 @@ class FineReranker:
                 return ts, jnp.where(ts <= -1e29, -1, tr)
             self._pool = _pool
 
+    def _scan_overflow(self, query_emb, scores, ids, over_mask):
+        """Replace overflowing queries' results with an exact full scan
+        over the (cluster-sorted) corpus; static batch shape so the scan
+        program compiles once."""
+        import numpy as np
+        from ..ops.mips import mips_topk
+        semb = self.semb if not self.on_cpu else self.index.sorted_emb
+        q = jnp.asarray(query_emb).astype(semb.dtype)
+        k = min(self.pool, scores.shape[-1])
+        s_all, rows = mips_topk(q, semb, k=k)
+        rows_h = np.asarray(rows)
+        n_real = len(self.doc_ids_h)
+        ids_all = np.where(
+            (rows_h >= 0) & (rows_h < n_real),
+            self.doc_ids_h[np.clip(rows_h, 0, n_real - 1)], -1)
+        s_all = np.asarray(s_all)
+        scores = np.where(over_mask[:, None], s_all[:, :k], scores)
+        ids = np.where(over_mask[:, None], ids_all[:, :k], ids)
+        return scores, ids
+
     def __call__(self, query_emb, beam_codes):
         """query_emb (B, d); beam_codes (B, nb, M) ->
         (scores (B, pool) np, original doc ids (B, pool) np, ndoc np)."""
         import numpy as np
         from ..index.csr import pack_codes
         B, nb, M = np.asarray(beam_codes).shape
+        ci_h = pack_codes(np.asarray(beam_codes).reshape(-1, M),
+                          self.kary).astype(np.int64)
+        sizes_h = (self.offsets_h[ci_h + 1]
+                   - self.offsets_h[ci_h]).reshape(B, nb)
+        over = ((sizes_h > self.cap).any(axis=1)
+                if self.overflow == "scan"
+                else np.zeros(B, bool))
         if self.on_cpu:
             s, i, nd = fine_rerank(
                 jnp.asarray(query_emb).astype(
@@ -264,11 +301,12 @@ class FineReranker:
                 jnp.asarray(beam_codes), self.index.offsets,
                 self.index.doc_ids, self.index.sorted_emb, self.kary,
                 self.cap, self.pool)
-            return np.asarray(s), np.asarray(i), np.asarray(nd)
+            s, i, nd = np.asarray(s), np.asarray(i), np.asarray(nd)
+            if over.any():
+                s, i = self._scan_overflow(query_emb, s, i, over)
+            return s, i, nd
         from ..ops.bucket import ROWS, bucket_scores_fused
-        codes_h = np.asarray(beam_codes)
-        cidx_h = pack_codes(codes_h.reshape(-1, M),
-                            self.kary).astype(np.int32)
+        cidx_h = ci_h.astype(np.int32)
         G = B * nb
         pad_g = (-G) % ROWS
         cidx = jnp.asarray(np.concatenate(
@@ -286,10 +324,12 @@ class FineReranker:
         top_ids = np.where(top_rows_h >= 0,
                            self.doc_ids_h[np.clip(top_rows_h, 0, None)],
                            -1).astype(np.int32)
-        ci = cidx_h.astype(np.int64)
-        ndoc = (self.offsets_h[ci + 1]
-                - self.offsets_h[ci]).reshape(B, nb).sum(-1)
-        return np.asarray(top_scores), top_ids, ndoc
+        ndoc = sizes_h.sum(-1)
+        top_scores = np.asarray(top_scores)
+        if over.any():
+            top_scores, top_ids = self._scan_overflow(
+                query_emb, top_scores, top_ids, over)
+        return top_scores, top_ids, ndoc
 
 
 # --------------------------------------------------------------------------

@@ -143,22 +143,36 @@ class PallasServer:
             return qemb, codes, scores, cidx, q_rep
         self._coarse = _coarse
 
+        M = nci.dims.code_len
+
         @partial(jax.jit, static_argnames=("nq", "per_query"))
-        def _pool(scores, rows, nq, per_query):
+        def _pool(scores, rows, codes, beam_scores, nq, per_query):
+            """Pool top-k + pack EVERYTHING into one int32 matrix: a
+            single host fetch replaces four (each fetch is a full RPC
+            roundtrip on tunneled TPU deployments)."""
             g_real = nq * per_query
             sc = scores[:g_real].reshape(nq, -1)
             rw = rows[:g_real].reshape(nq, -1)
             k = min(pool, sc.shape[-1])
             ts, pp = jax.lax.top_k(sc, k)
             tr = jnp.take_along_axis(rw, pp, axis=-1)
-            return ts, jnp.where(ts <= -1e29, -1, tr)
+            tr = jnp.where(ts <= -1e29, -1, tr)
+            packed = jnp.concatenate([
+                jax.lax.bitcast_convert_type(ts, jnp.int32),
+                tr,
+                codes.reshape(nq, -1).astype(jnp.int32),
+                jax.lax.bitcast_convert_type(
+                    beam_scores.astype(jnp.float32), jnp.int32),
+            ], axis=1)
+            return packed
         self._pool = _pool
+        self._M = M
 
     def query_device(self, query_ids, query_mask):
         """Device half: three dispatches, zero host hops (the CSR offsets
-        lookup rides a DMA inside the bucket kernel).  Returns device
-        handles (top_scores, top_rows, codes, beam_scores); start their
-        host copies immediately so back-to-back batches pipeline."""
+        lookup rides a DMA inside the bucket kernel).  Returns ONE packed
+        device array; its host copy starts immediately so back-to-back
+        batches pipeline."""
         B = query_ids.shape[0]
         # dispatch 1: qenc + beam + cidx/q_rep prep
         qemb, codes, beam_scores, cidx, q_rep = self._coarse(
@@ -167,33 +181,35 @@ class PallasServer:
         # Mosaic custom call into a larger XLA program degrades it)
         scores, rows = self._bucket(self.sorted_emb, self.offsets2d,
                                     cidx, q_rep, self.cap)
-        # dispatch 3: per-query pool top-k
-        top_scores, top_rows = self._pool(scores, rows, B, self.num_beams)
-        out = (top_scores, top_rows, codes, beam_scores)
-        for arr in out:
-            try:
-                arr.copy_to_host_async()
-            except AttributeError:  # pragma: no cover (cpu fallback)
-                pass
-        return out
+        # dispatch 3: per-query pool top-k + single packed output
+        packed = self._pool(scores, rows, codes, beam_scores, B,
+                            self.num_beams)
+        try:
+            packed.copy_to_host_async()
+        except AttributeError:  # pragma: no cover (cpu fallback)
+            pass
+        return packed
 
-    def finalize(self, handles):
-        """Host half: fetch + map CSR rows to original doc ids + ndoc."""
+    def finalize(self, handle):
+        """Host half: ONE fetch; unpack + map CSR rows to doc ids."""
         import numpy as np
         from .index.csr import pack_codes
-        top_scores, top_rows, codes, beam_scores = handles
-        B, nb = codes.shape[0], self.num_beams
-        top_rows_h = np.asarray(top_rows)
-        codes_h = np.asarray(codes)
+        packed = np.asarray(handle)
+        B = packed.shape[0]
+        nb, M = self.num_beams, self._M
+        k = (packed.shape[1] - nb * M - nb) // 2
+        top_scores = packed[:, :k].view(np.float32)
+        top_rows_h = packed[:, k:2 * k]
+        codes_h = packed[:, 2 * k:2 * k + nb * M].reshape(B, nb, M)
+        beam_scores = packed[:, 2 * k + nb * M:].view(np.float32)
         top_ids = np.where(top_rows_h >= 0,
                            self.doc_ids_h[np.clip(top_rows_h, 0, None)],
                            -1).astype(np.int32)
-        ci = pack_codes(codes_h.reshape(-1, codes_h.shape[-1]),
+        ci = pack_codes(codes_h.reshape(-1, M),
                         self.kary).astype(np.int64)
         ndoc = (self.offsets_h[ci + 1]
                 - self.offsets_h[ci]).reshape(B, nb).sum(-1)
-        return (np.asarray(top_scores), top_ids, codes_h,
-                np.asarray(beam_scores), ndoc)
+        return (top_scores, top_ids, codes_h, beam_scores, ndoc)
 
     def query(self, query_ids, query_mask):
         """Returns (doc scores (B, pool), original doc ids (B, pool),

@@ -111,3 +111,45 @@ def test_topk_topp_filtering():
     # cumulative-exclusive < 0.75 keeps ids 0 and 1 (0.5, then 0.5<0.75)
     assert (f[0, :2] > -1e8).all()
     assert (f[0, 3] < -1e8)
+
+
+def test_doc2query_repair_loop(tmp_path, rng):
+    """--repair regenerates queries for docs with empty/duplicate rows
+    (complement_qg10.py semantics)."""
+    import torch
+    import transformers
+    from mevi_tpu.cli.main import main
+
+    t5cfg = transformers.T5Config(
+        vocab_size=32128, d_model=16, d_kv=4, d_ff=32, num_heads=4,
+        num_layers=1, num_decoder_layers=1, dropout_rate=0.0,
+        feed_forward_proj="relu")
+    torch.manual_seed(0)
+    hf = transformers.T5Model(t5cfg).eval()
+    ck = str(tmp_path / "qg.pt")
+    torch.save(hf.state_dict(), ck)
+
+    corpus = tmp_path / "corpus.tsv"
+    corpus.write_text("0\tT0\tsome passage text here\n"
+                      "1\tT1\tanother different passage\n")
+    # doc 0 has 2 good rows; doc 1 has dup + empty -> needs regeneration
+    qg = tmp_path / "qg.tsv"
+    qg.write_text("good q one\t0\nsecond q\t0\n"
+                  "dup\t1\ndup\t1\n   \t1\n")
+    out = str(tmp_path / "qg_fixed.tsv")
+    main(["doc2query", "--checkpoint", ck, "--corpus", str(corpus),
+          "--output", out, "--n_gen_query", "2", "--num_layers", "1",
+          "--d_model", "16", "--d_kv", "4", "--d_ff", "32",
+          "--num_heads", "4",
+          "--batch", "2", "--query_max_len", "4", "--doc_max_len", "8",
+          "--repair", str(qg), "--repair_rounds", "2",
+          "--allow_hash_tokenizer"])
+    rows = [line.split("\t") for line in
+            open(out).read().strip().split("\n")]
+    per_doc = {}
+    for q, d in rows:
+        per_doc.setdefault(int(d), []).append(q)
+    # doc 0 untouched, doc 1 got regenerated rows (dedup kept 1 'dup')
+    assert per_doc[0] == ["good q one", "second q"]
+    assert len(per_doc[1]) >= 1
+    assert all(q.strip() for qs in per_doc.values() for q in qs)

@@ -101,3 +101,34 @@ def test_coarse_ranks(rng):
     gts = np.array([[[2, 3], [0, 0], [-1, -1]]])
     r = searcher.coarse_ranks(beams, gts, kary)
     assert r.tolist() == [[1, -1, -1]]
+
+
+def test_overflow_fallback_full_scan(rng):
+    """A query whose cluster exceeds cap gets exact full-scan results
+    (the reference never truncates clusters, main_models.py:3915-4020)."""
+    from mevi_tpu.eval.searcher import FineReranker, build_fine_index
+    import jax.numpy as jnp
+    kary, M, d, cap = 4, 2, 16, 8
+    # cluster (0, 0) has 3*cap members; others small
+    n_big, n_small = 3 * 8, 40
+    codes = np.concatenate([
+        np.zeros((n_big, M), np.int32),
+        rng.integers(1, kary, size=(n_small, M)).astype(np.int32)])
+    emb = rng.normal(size=(len(codes), d)).astype(np.float32)
+    fine = build_fine_index(codes, emb, kary)
+    q = rng.normal(size=(2, d)).astype(np.float32)
+    beams = np.zeros((2, 2, M), np.int32)          # both beams -> big cluster
+    beams[1] = 1                                    # query 1: small clusters
+    rr_scan = FineReranker(fine, cap, pool=10, overflow="scan")
+    rr_trunc = FineReranker(fine, cap, pool=10, overflow="truncate")
+    s_scan, i_scan, nd = rr_scan(jnp.asarray(q), jnp.asarray(beams))
+    s_tr, i_tr, _ = rr_trunc(jnp.asarray(q), jnp.asarray(beams))
+    # query 0 overflowed: scan result == brute-force top over the big cluster
+    big = emb[:n_big]
+    want = np.argsort(-(q[0] @ emb.T))[:10]
+    got = i_scan[0]
+    assert set(got.tolist()) == set(want.tolist())
+    # truncate variant saw only cap members
+    assert (nd[0] == 2 * n_big) or nd[0] >= n_big
+    # query 1 (no overflow) identical across modes
+    np.testing.assert_array_equal(i_scan[1], i_tr[1])
