@@ -148,46 +148,73 @@ def run(NDOC, extras):
     log(f"params ready: {time.time() - t0:.1f}s")
 
     # ---- corpus: clustered Gaussians with Zipf-skewed cluster sizes ----
-    log(f"corpus: {NDOC} docs x {D} (clustered, skewed)")
-    t0 = time.time()
-    host = np.random.default_rng(0)
-    NCTR = 1024 if on_tpu else 32
-    centers = host.normal(size=(NCTR, D)).astype(np.float32) * 2.0
-    pz = 1.0 / np.arange(1, NCTR + 1) ** 1.1
-    pz /= pz.sum()
+    # artifacts are disk-cached: generation + RQ fit + assignment are
+    # deterministic in (NDOC, D) and take ~20 min single-core/tunneled
     try:
         import ml_dtypes
         h_dt = ml_dtypes.bfloat16 if on_tpu else np.float32
     except ImportError:                      # pragma: no cover
         h_dt = np.float32
-    emb = np.empty((NDOC, D), h_dt)
+    cache_dir = os.environ.get("BENCH_CACHE",
+                               f"/tmp/mevi_bench_{NDOC}_{D}")
+    os.makedirs(cache_dir, exist_ok=True)
+    emb_p = os.path.join(cache_dir, "emb.bin")
+    codes_p = os.path.join(cache_dir, "codes.npy")
+    cbs_p = os.path.join(cache_dir, "codebooks.npy")
+    host = np.random.default_rng(0)
+    NCTR = 1024 if on_tpu else 32
+    centers = host.normal(size=(NCTR, D)).astype(np.float32) * 2.0
+    pz = 1.0 / np.arange(1, NCTR + 1) ** 1.1
+    pz /= pz.sum()
     CH = 1 << 19
-    # per-doc gaussian noise from a pre-generated pool (fresh normal()
-    # for 8.8M x 768 takes ~5 min single-core; the pool gather is ~5x
-    # faster and the geometry is statistically equivalent for this bench)
-    pool = (host.standard_normal((1 << 17, D)) * 0.7).astype(np.float32)
-    for s in range(0, NDOC, CH):
-        e = min(NDOC, s + CH)
-        cid = host.choice(NCTR, size=e - s, p=pz)
-        ridx = host.integers(0, len(pool), size=e - s)
-        emb[s:e] = (centers[cid] + pool[ridx]).astype(h_dt)
-    del pool
-    log(f"corpus generated: {time.time() - t0:.1f}s")
+    if os.path.exists(codes_p):
+        log(f"corpus cache hit: {cache_dir}")
+        emb = np.memmap(emb_p, dtype=h_dt, mode="r", shape=(NDOC, D))
+        codes = np.load(codes_p)
+        cbs = jnp.asarray(np.load(cbs_p))
+    else:
+        log(f"corpus: {NDOC} docs x {D} (clustered, skewed)")
+        t0 = time.time()
+        emb = np.memmap(emb_p + ".tmp", dtype=h_dt, mode="w+",
+                        shape=(NDOC, D))
+        # per-doc gaussian noise from a pre-generated pool (fresh
+        # normal() for 8.8M x 768 takes ~10 min single-core; the pool
+        # gather is ~5x faster, statistically equivalent here)
+        pool = (host.standard_normal((1 << 17, D)) * 0.7) \
+            .astype(np.float32)
+        for s in range(0, NDOC, CH):
+            e = min(NDOC, s + CH)
+            cid = host.choice(NCTR, size=e - s, p=pz)
+            ridx = host.integers(0, len(pool), size=e - s)
+            emb[s:e] = (centers[cid] + pool[ridx]).astype(h_dt)
+        del pool
+        log(f"corpus generated: {time.time() - t0:.1f}s")
 
-    # ---- RQ fit on a subsample, assign all ------------------------------
-    t0 = time.time()
-    nfit = min(NDOC, 500_000)
-    fit_rows = emb[host.choice(NDOC, size=nfit, replace=False)] \
-        .astype(np.float32)
-    cbs, _ = rq_ops.rq_train(jnp.asarray(fit_rows), levels=M, kary=KARY,
-                             iters=8, key=jax.random.PRNGKey(1))
-    del fit_rows
-    codes = np.empty((NDOC, M), np.int32)
-    for s in range(0, NDOC, CH):
-        e = min(NDOC, s + CH)
-        codes[s:e] = np.asarray(rq_ops.assign(
-            jnp.asarray(emb[s:e].astype(np.float32)), cbs, "rq", "l2"))
-    log(f"RQ fit + assign: {time.time() - t0:.1f}s")
+        # ---- RQ fit on a subsample, assign all (device, bf16 in) ------
+        t0 = time.time()
+        nfit = min(NDOC, 500_000)
+        fit_rows = np.asarray(
+            emb[host.choice(NDOC, size=nfit, replace=False)])
+        cbs, _ = rq_ops.rq_train(
+            jnp.asarray(fit_rows).astype(jnp.float32), levels=M,
+            kary=KARY, iters=8, key=jax.random.PRNGKey(1))
+        del fit_rows
+        cbs = cbs.astype(jnp.float32)
+
+        @jax.jit
+        def assign_chunk(x, cbs):
+            return rq_ops.assign(x.astype(jnp.float32), cbs, "rq", "l2")
+
+        codes = np.empty((NDOC, M), np.int32)
+        for s in range(0, NDOC, CH):
+            e = min(NDOC, s + CH)
+            chunk = jnp.asarray(np.asarray(emb[s:e]))   # bf16 over wire
+            codes[s:e] = np.asarray(assign_chunk(chunk, cbs))
+        log(f"RQ fit + assign: {time.time() - t0:.1f}s")
+        np.save(cbs_p, np.asarray(cbs))
+        np.save(codes_p, codes)
+        emb.flush()
+        os.replace(emb_p + ".tmp", emb_p)
 
     # cluster-size skew stats
     from mevi_tpu.index.csr import pack_codes as pack_np
@@ -200,10 +227,34 @@ def run(NDOC, extras):
         "over_cap": int((nz > CAP).sum())}
     log(f"cluster sizes: {extras['cluster_sizes']}")
 
-    # ---- fine index + server -------------------------------------------
+    # ---- fine index + server (CSR layout disk-cached too) ---------------
+    from mevi_tpu.eval.searcher import FineIndex
     t0 = time.time()
-    fine = build_fine_index(codes, emb, KARY, dtype=h_dt,
-                            pad_rows=CAP + 8)
+    sorted_p = os.path.join(cache_dir, f"sorted_{CAP}.bin")
+    off_p = os.path.join(cache_dir, "csr_offsets.npy")
+    ids_p = os.path.join(cache_dir, "csr_doc_ids.npy")
+    n_pad = NDOC + CAP + 8
+    if not os.path.exists(sorted_p):
+        from mevi_tpu.index.csr import build_csr
+        offsets, doc_ids = build_csr(codes, KARY)
+        np.save(off_p, np.asarray(offsets))
+        np.save(ids_p, np.asarray(doc_ids))
+        mm = np.memmap(sorted_p + ".tmp", dtype=h_dt, mode="w+",
+                       shape=(n_pad, D))
+        for s in range(0, NDOC, CH):
+            e = min(NDOC, s + CH)
+            mm[s:e] = emb[doc_ids[s:e]]
+        mm[NDOC:] = 0
+        mm.flush()
+        del mm
+        os.replace(sorted_p + ".tmp", sorted_p)
+    offsets = np.load(off_p)
+    doc_ids = np.load(ids_p)
+    sorted_mm = np.memmap(sorted_p, dtype=h_dt, mode="r",
+                          shape=(n_pad, D))
+    fine = FineIndex(jnp.asarray(offsets), jnp.asarray(doc_ids),
+                     jnp.asarray(sorted_mm), M, KARY,
+                     host_offsets=offsets, host_doc_ids=doc_ids)
     del emb
     log(f"index built: {time.time() - t0:.1f}s; transferring...")
     t0 = time.time()

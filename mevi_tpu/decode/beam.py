@@ -150,10 +150,10 @@ def nci_beam_search_incremental(
     enc_hidden = apply(NCIT5.encode, input_ids, attention_mask)
     memory, mem_mask, _ = apply(NCIT5.build_memory, enc_hidden,
                                 attention_mask)
+    # cross K/V stay per-QUERY: a query's beams share them inside
+    # decode_step (replicating them x nb costs 1.5 GB of HBM traffic
+    # per step at the serving config)
     cross_kvs = apply(NCIT5.project_cross_kvs, memory)
-    kvs_b = jax.tree.map(lambda x: _expand_beams(x, nb), cross_kvs)
-    mem_mask_b = (None if mem_mask is None
-                  else _expand_beams(mem_mask, nb))
     dec_cache, pawa_cache, pawa_mem = apply(
         NCIT5.init_decode_state, B * nb)
 
@@ -168,7 +168,7 @@ def nci_beam_search_incremental(
         cur_tok, code_hist, beam_scores, dec_cache, pawa_cache = carry
         logits, dec_cache, pawa_cache = apply(
             NCIT5.decode_logits_step, cur_tok, t, dec_cache, pawa_cache,
-            kvs_b, pawa_mem, mem_mask_b)
+            cross_kvs, pawa_mem, mem_mask, beams=nb)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
         code_lp = logp[:, :K].reshape(B, nb, K)
         flat = (beam_scores[:, :, None] + code_lp).reshape(B, nb * K)
@@ -192,7 +192,7 @@ def nci_beam_search_incremental(
     # final step: EOS log-prob at position M
     logits, _, _ = apply(
         NCIT5.decode_logits_step, cur_tok, jnp.int32(M), dec_cache,
-        pawa_cache, kvs_b, pawa_mem, mem_mask_b)
+        pawa_cache, cross_kvs, pawa_mem, mem_mask, beams=nb)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
     eos_lp = logp[:, K].reshape(B, nb)
     total = beam_scores + eos_lp

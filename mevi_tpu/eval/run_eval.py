@@ -264,8 +264,13 @@ class Evaluator:
 def write_result_files(outputs: EvalOutputs, gt_docids: List[List[int]],
                        coarse_path: Optional[str] = None,
                        fine_path: Optional[str] = None,
-                       hardneg_path: Optional[str] = None) -> None:
-    """Write the ensemble-facing tsvs (``main_models.py:4227-4235``)."""
+                       hardneg_path: Optional[str] = None,
+                       hard_neg_k: int = 0) -> None:
+    """Write the ensemble-facing tsvs (``main_models.py:4227-4235``).
+
+    ``hard_neg_k``: cap the hard-negative list per query
+    (``--save_hard_neg``, ``main_models.py:4046-4053``); 0 = pool size.
+    """
     assert outputs.results is not None, "evaluate(keep_results=True)"
     qi = 0
     coarse_rows, fine_rows, hn_rows = [], [], []
@@ -283,10 +288,11 @@ def write_result_files(outputs: EvalOutputs, gt_docids: List[List[int]],
                     fine_rows.append((res.queries[b],
                                       int(res.ndoc[b]), ids, gts))
                 if hardneg_path:
-                    k = len(ids)
+                    k = hard_neg_k or len(ids)
                     hn_rows.append((
                         res.queries[b], [],
-                        ids, res.fine_scores[b][:k].tolist()))
+                        ids[:k], res.fine_scores[b][:min(
+                            k, len(ids))].tolist()))
             qi += 1
     if coarse_path:
         io.write_coarse_results(coarse_path, coarse_rows)

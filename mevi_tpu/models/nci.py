@@ -288,11 +288,14 @@ class NCIT5(nn.Module):
         return dec_cache, pawa_cache, pawa_mem
 
     def decode_logits_step(self, tok_t, t, dec_cache, pawa_cache,
-                           cross_kvs, pawa_mem, memory_mask=None):
+                           cross_kvs, pawa_mem, memory_mask=None,
+                           beams: int = 1):
         """Single-token decode: tok_t (b, 1) int32 at position t.
 
         Computes only position t through the decoder and PAWA via KV
         caches (the panel path recomputes all L positions per step).
+        With ``beams > 1``, ``cross_kvs``/``memory_mask`` are per-QUERY
+        (b // beams rows) and shared across each query's beams.
         Returns (compact logits (b, kary+1), dec_cache, pawa_cache).
         """
         d = self.dims
@@ -300,7 +303,8 @@ class NCIT5(nn.Module):
         L = d.max_output_length
         embed_t = self.decode_embeddings(tok_t)
         hidden_t, dec_cache = self.decoder.decode_step(
-            embed_t, t, dec_cache, cross_kvs, extend_mask(memory_mask))
+            embed_t, t, dec_cache, cross_kvs, extend_mask(memory_mask),
+            beams=beams)
         seq_t = hidden_t[:, 0, :] * (d.t5.d_model ** -0.5)
 
         W = self._head_matrix()

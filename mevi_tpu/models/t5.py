@@ -273,15 +273,21 @@ class T5Stack(nn.Module):
         return [(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
                 for _ in range(self.num_layers)]
 
-    def decode_step(self, embed_t, t, cache, cross_kvs, enc_mask):
+    def decode_step(self, embed_t, t, cache, cross_kvs, enc_mask,
+                    beams: int = 1):
         """One decode step with KV caching.
 
         Args:
           embed_t: (b, 1, d) current-token embedding.
           t: traced step index.
           cache: list of per-layer (k, v) (b, h, max_len, d_kv).
-          cross_kvs: precomputed cross-attn (k, v) per layer.
-          enc_mask: additive (b, 1, 1, enc_len) or None.
+          cross_kvs: precomputed cross-attn (k, v) per layer — shape
+            (b, h, enc_len, d_kv), or (b // beams, h, enc_len, d_kv)
+            when ``beams > 1``: the K/V are per *query* and shared by
+            its beams (never materialized x beams — at serving batch
+            256 x 10 beams that replication is 1.5 GB re-read every
+            step).
+          enc_mask: additive (b or b//beams, 1, 1, enc_len) or None.
         Returns:
           (hidden_t (b, 1, d), new_cache).
         """
@@ -314,8 +320,24 @@ class T5Stack(nn.Module):
                 position_bias = jnp.transpose(bias)[None, :, None, :]
             y = attn.attend(q, ck, cv, position_bias, causal)
             hidden = hidden + attn.o(y)
-            y, _ = block.cross_attn(block.cross_norm(hidden),
-                                    mask=enc_mask, kv_cache=cross_kvs[i])
+            cattn = block.cross_attn
+            cx = block.cross_norm(hidden)
+            ck_, cv_ = cross_kvs[i]
+            if beams > 1 and ck_.shape[0] * beams == cx.shape[0]:
+                cq = cattn._split(cattn.q(cx))         # (B*nb, h, 1, dk)
+                B = ck_.shape[0]
+                h, dk = cq.shape[1], cq.shape[3]
+                cqb = cq.reshape(B, beams, h, dk)
+                scores = jnp.einsum("bnhd,bhkd->bhnk", cqb,
+                                    ck_).astype(jnp.float32)
+                if enc_mask is not None:
+                    scores = scores + enc_mask         # (B,1,1,k) bcast
+                probs = jax.nn.softmax(scores, -1).astype(cq.dtype)
+                ctx = jnp.einsum("bhnk,bhkd->bnhd", probs, cv_)
+                ctx = ctx.reshape(B * beams, 1, h * dk)
+                y = cattn.o(ctx)
+            else:
+                y, _ = cattn(cx, mask=enc_mask, kv_cache=(ck_, cv_))
             hidden = hidden + y
             hidden = hidden + block.ff(block.ff_norm(hidden))
         return self.final_norm(hidden), new_cache

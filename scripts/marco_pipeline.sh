@@ -90,3 +90,27 @@ if [[ $stage == ensemble || $stage == all ]]; then
       --mapping_file $DATA_DIR/ance/index/rq_codes.npy \
       --ofile $DATA_DIR/ance/ensemble_result.txt
 fi
+
+if [[ $stage == train-joint ]]; then
+  # == the --codebook 1 joint mode (main.py:36-174): NCI + codebook +
+  # twin tower with runtime RQ labels, in-cluster negatives, EMA books,
+  # NCI/twin alternation, validation-driven RQ refit, resume
+  $CLI train-joint --config $CFG \
+      --queries $DATA_DIR/ance/train_queries --query_length 32 \
+      --train_tsv $DATA_DIR/origin/train_mevi.tsv \
+      --documents $DATA_DIR/ance/all_document --doc_length 128 \
+      --codebooks $DATA_DIR/ance/index/rq_codebooks.npy \
+      --codes $DATA_DIR/ance/index/rq_codes.npy \
+      --tower_ckpt $DATA_DIR/ckpts/t5-ance.pt \
+      --pq_update ema --alt_epochs 2,3 \
+      --dev_tsv $DATA_DIR/origin/dev_mevi_dedup.tsv \
+      --resume best --log_dir $DATA_DIR/logs
+fi
+
+if [[ $stage == hier ]]; then
+  # non-RQ NCI id space: hierarchical k-means ids + prefix clusters +
+  # trie tables (prepare_clus equivalent)
+  $CLI build-hier --config $CFG \
+      --embeddings $DATA_DIR/ance/docemb.bin \
+      --output_dir $DATA_DIR/ance/hier --k 30 --c 30 --layers 1,2,3
+fi

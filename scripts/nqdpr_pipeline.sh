@@ -71,3 +71,39 @@ if [[ $stage == train || $stage == all ]]; then
       --train_tsv $DATA_DIR/origin/train_mevi.tsv \
       --log_dir $DATA_DIR/logs
 fi
+
+if [[ $stage == eval || $stage == all ]]; then
+  # == nqdpr_eval_nci_rq.sh: beam-10 coarse + fine, answer-set hitrate
+  # via the inverse doc->answering-query arrays
+  python - <<PY
+import csv
+from mevi_tpu.data import io
+qs = []
+with open("$DATA_DIR/raw/nq-test.qa.csv") as fr:
+    for q, ans in csv.reader(fr, delimiter="\t"):
+        qs.append(q.replace("’", "'"))
+io.write_query_docids_tsv("$DATA_DIR/origin/test_queries.tsv",
+                          [(q, [0]) for q in qs])
+PY
+  $CLI eval --config $CFG \
+      --nci_ckpt ckpts/nci/best \
+      --tower_ckpt $DATA_DIR/ckpts/ar2_nq.pkl \
+      --embeddings $DATA_DIR/ar2/docemb.bin \
+      --codes $DATA_DIR/ar2/index/rq_codes.npy \
+      --dev_tsv $DATA_DIR/origin/test_queries.tsv \
+      --nq_answer_offsets $DATA_DIR/origin/test_inverse_offsets.bin \
+      --nq_answer_array $DATA_DIR/origin/test_inverse_array.bin \
+      --num_return_sequences 10 --bf16 \
+      --save_path $DATA_DIR/ar2/nci_result_rq45_top10.tsv
+fi
+
+if [[ $stage == ensemble ]]; then
+  # == ensemble_nqdpr.sh: fuse ANN + coarse/fine with answer-set eval
+  $CLI ensemble \
+      --gt_file $DATA_DIR/origin/test_queries.tsv \
+      --ance_file $DATA_DIR/ar2/ann1000.tsv \
+      --coarse_file $DATA_DIR/ar2/nci_result_rq45_top10_coarse.tsv \
+      --fine_file $DATA_DIR/ar2/nci_result_rq45_top10_hn.tsv \
+      --mapping_file $DATA_DIR/ar2/index/rq_codes.npy \
+      --ofile $DATA_DIR/ar2/ensemble_result.txt
+fi

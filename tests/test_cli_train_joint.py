@@ -115,3 +115,20 @@ def test_train_joint_fix_flags(workdir, tmp_path):
     # codebooks trained (grad mode, not fixpq) -> changed
     assert not np.allclose(np.asarray(restored["params"]["codebooks"]),
                            tower0)
+
+
+def test_train_nci_cli_and_resume(workdir, capsys):
+    """Plain NCI `train` subcommand end-to-end + --resume."""
+    w = workdir
+    args = ["train", "--config", w["cfgp"],
+            "--queries", str(w["tmp"] / "q"),
+            "--query_length", str(w["Lq"]),
+            "--codes", str(w["tmp"] / "codes.npy"),
+            "--train_tsv", str(w["tmp"] / "train.tsv")]
+    main(args + ["--max_epochs", "1"])
+    out1 = capsys.readouterr().out
+    assert "epoch 0" in out1
+    main(args + ["--max_epochs", "2", "--resume", "best"])
+    out2 = capsys.readouterr().out
+    assert "resumed from epoch 1" in out2
+    assert "epoch 1" in out2
