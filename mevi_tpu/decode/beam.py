@@ -78,16 +78,19 @@ def nci_beam_search(
 
     tokens = jnp.zeros((B * nb, L), jnp.int32)     # panel, col 0 = start
     beam_scores = jnp.full((B, nb), -1e9, jnp.float32).at[:, 0].set(0.0)
+    W_lvl, A_lvl = apply(NCIT5.head_level_tables)
 
-    def step_logits(tokens, t):
+    def step_logits(tokens, t, tables):
         row, dec_hidden = apply(
-            NCIT5.compact_logits_at, tokens, t, None, mem_mask_b, kvs_b)
+            NCIT5.compact_logits_at, tokens, t, None, mem_mask_b, kvs_b,
+            level_tables=tables)
         return (jax.nn.log_softmax(row.astype(jnp.float32), axis=-1),
                 dec_hidden)
 
-    def beam_step(carry, t):
+    def beam_step(carry, xs):
+        t, W_t, A_t = xs
         tokens, beam_scores = carry
-        logp, _ = step_logits(tokens, t)                # (B*nb, K+1)
+        logp, _ = step_logits(tokens, t, (W_t, A_t))    # (B*nb, K+1)
         code_lp = logp[:, :K].reshape(B, nb, K)
         cand = beam_scores[:, :, None] + code_lp        # (B, nb, K)
         flat = cand.reshape(B, nb * K)
@@ -101,13 +104,16 @@ def nci_beam_search(
         tokens = tokens.at[:, t + 1].set(tok)
         return (tokens, beam_scores), None
 
+    if A_lvl is None:                       # use_pawa=False: unused dummy
+        A_lvl = jnp.zeros((L, 1, 1), W_lvl.dtype)
     # the per-step compute is shape-identical: scan compiles it ONCE
     # (the reference re-traces nothing but pays a python loop per step)
     (tokens, beam_scores), _ = jax.lax.scan(
-        beam_step, (tokens, beam_scores), jnp.arange(M))
+        beam_step, (tokens, beam_scores),
+        (jnp.arange(M), W_lvl[:M], A_lvl[:M]))
 
     # final step: every surviving beam emits EOS (the tree's leaf layer)
-    logp, dec_hidden = step_logits(tokens, M)
+    logp, dec_hidden = step_logits(tokens, M, (W_lvl[M], A_lvl[M]))
     eos_lp = logp[:, K].reshape(B, nb)
     total = beam_scores + eos_lp
     norm = total / jnp.float32(M + 1) ** jnp.float32(length_penalty)
@@ -154,21 +160,45 @@ def nci_beam_search_incremental(
     # decode_step (replicating them x nb costs 1.5 GB of HBM traffic
     # per step at the serving config)
     cross_kvs = apply(NCIT5.project_cross_kvs, memory)
-    dec_cache, pawa_cache, pawa_mem = apply(
-        NCIT5.init_decode_state, B * nb)
-
-    cur_tok = jnp.zeros((B * nb, 1), jnp.int32)          # start token
-    beam_scores = jnp.full((B, nb), -1e9, jnp.float32).at[:, 0].set(0.0)
-    code_hist = jnp.zeros((B * nb, M), jnp.int32)
+    W_lvl, A_lvl = apply(NCIT5.head_level_tables)
+    if A_lvl is None:                       # use_pawa=False: unused dummy
+        A_lvl = jnp.zeros((L, 1, 1), W_lvl.dtype)
 
     def gather_cache(cache, rows):
         return jax.tree.map(lambda x: x[rows], cache)
 
-    def step(carry, t):
+    # step 0 at B rows: every beam of a query shares the start-token
+    # prefix, so running the panel at B*nb rows would compute each
+    # query's step nb times; top-nb of the K step-0 logits IS the beam
+    # update (original semantics: beam 0 alive at 0.0, others at -1e9)
+    dec_cache, pawa_cache, pawa_mem = apply(NCIT5.init_decode_state, B)
+    logits0, dec_cache, pawa_cache = apply(
+        NCIT5.decode_logits_step, jnp.zeros((B, 1), jnp.int32),
+        jnp.int32(0), dec_cache, pawa_cache, cross_kvs, pawa_mem,
+        mem_mask, beams=1, level_tables=(W_lvl[0], A_lvl[0]))
+    logp0 = jax.nn.log_softmax(logits0.astype(jnp.float32), -1)
+    # exact original flat top-k (beam 0 at 0.0, others -1e9): with
+    # nb > K the tail beams are the same dead (-1e9) hypotheses the
+    # panel path produces, so the two decoders stay bit-identical
+    init0 = jnp.full((nb,), -1e9, jnp.float32).at[0].set(0.0)
+    flat0 = (init0[None, :, None] + logp0[:, None, :K]).reshape(B, nb * K)
+    beam_scores, pos0 = jax.lax.top_k(flat0, nb)            # (B, nb)
+    code0 = (pos0 % K).astype(jnp.int32)
+    rows0 = jnp.repeat(jnp.arange(B), nb)                   # expand x nb
+    dec_cache = gather_cache(dec_cache, rows0)
+    pawa_cache = (None if pawa_cache is None
+                  else gather_cache(pawa_cache, rows0))
+    code_hist = jnp.zeros((B * nb, M), jnp.int32
+                          ).at[:, 0].set(code0.reshape(-1))
+    cur_tok = code0.reshape(-1, 1).astype(jnp.int32) + 2
+
+    def step(carry, xs):
+        t, W_t, A_t = xs
         cur_tok, code_hist, beam_scores, dec_cache, pawa_cache = carry
         logits, dec_cache, pawa_cache = apply(
             NCIT5.decode_logits_step, cur_tok, t, dec_cache, pawa_cache,
-            cross_kvs, pawa_mem, mem_mask, beams=nb)
+            cross_kvs, pawa_mem, mem_mask, beams=nb,
+            level_tables=(W_t, A_t))
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
         code_lp = logp[:, :K].reshape(B, nb, K)
         flat = (beam_scores[:, :, None] + code_lp).reshape(B, nb * K)
@@ -186,13 +216,15 @@ def nci_beam_search_incremental(
                 pawa_cache), None
 
     carry = (cur_tok, code_hist, beam_scores, dec_cache, pawa_cache)
-    carry, _ = jax.lax.scan(step, carry, jnp.arange(M))
+    carry, _ = jax.lax.scan(step, carry,
+                            (jnp.arange(1, M), W_lvl[1:M], A_lvl[1:M]))
     cur_tok, code_hist, beam_scores, dec_cache, pawa_cache = carry
 
     # final step: EOS log-prob at position M
     logits, _, _ = apply(
         NCIT5.decode_logits_step, cur_tok, jnp.int32(M), dec_cache,
-        pawa_cache, cross_kvs, pawa_mem, mem_mask, beams=nb)
+        pawa_cache, cross_kvs, pawa_mem, mem_mask, beams=nb,
+        level_tables=(W_lvl[M], A_lvl[M]))
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
     eos_lp = logp[:, K].reshape(B, nb)
     total = beam_scores + eos_lp

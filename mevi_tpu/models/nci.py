@@ -177,6 +177,34 @@ class NCIT5(nn.Module):
         return self.adaptor_kernel.reshape(
             d.t5.d_model, d.t5.d_model, d.decode_vocab_size)
 
+    def head_level_tables(self):
+        """Per-level packed LM-head tables, built once per trace with
+        STATIC slices.  Level t's columns are [level-t codes (K), EOS]:
+
+          W_lvl: (L, K+1, d)          tied-head rows
+          A_lvl: (L, d_in, d*(K+1))   PAWA weight-delta slabs (or None)
+
+        The in-scan ``dynamic_slice`` over the (d, d, V) adaptor tensor
+        plus the 3-operand einsum dominated the decode step (r1 weak #3);
+        with the slabs fed to the scan as xs, the PAWA delta becomes one
+        MXU matmul ``h_t @ A_t`` per step."""
+        d = self.dims
+        K, L = d.kary, d.max_output_length
+        W = self._head_matrix()
+        W_lvl = jnp.stack([
+            jnp.concatenate([W[2 + t * K:2 + (t + 1) * K], W[1:2]], 0)
+            for t in range(L)])
+        A_lvl = None
+        if d.use_pawa:
+            dm = d.t5.d_model
+            A = self._adaptor_tensor()
+            A_lvl = jnp.stack([
+                jnp.concatenate(
+                    [A[:, :, 2 + t * K:2 + (t + 1) * K], A[:, :, 1:2]],
+                    -1).reshape(dm, dm * (K + 1))
+                for t in range(L)])
+        return W_lvl, A_lvl
+
     def project_cross_kvs(self, memory):
         """Per-layer decoder cross-attention (k, v), computed once per
         query and reused across decode steps/beams (the reference
@@ -201,27 +229,16 @@ class NCIT5(nn.Module):
             cross_kvs=cross_kvs, deterministic=deterministic)
         seq = dec_hidden * (d.t5.d_model ** -0.5)     # modeling_t5.py:1607
 
-        W = self._head_matrix()                        # (V, d)
-        # base logits: per-position slice of the tied head + eos column
-        def base_cols(t):
-            rows = jax.lax.dynamic_slice_in_dim(W, 2 + t * K, K, 0)  # (K,d)
-            return rows
-        slices = jnp.stack([base_cols(t) for t in range(L)])  # (L, K, d)
-        base = jnp.einsum("bld,lkd->blk", seq, slices)
-        base_eos = jnp.einsum("bld,d->bl", seq, W[1])
-
+        W_lvl, A_lvl = self.head_level_tables()
+        logits = jnp.einsum("bld,lkd->blk", seq, W_lvl)   # (b, L, K+1)
         if d.use_pawa:
             h_a = self.pawa(dec_embeds, deterministic=deterministic)
-            A = self._adaptor_tensor()                 # (d_in, d, V)
-            A_slices = jnp.stack([
-                jax.lax.dynamic_slice_in_dim(A, 2 + t * K, K, 2)
-                for t in range(L)])                    # (L, d_in, d, K)
-            delta = jnp.einsum("bli,lidk,bld->blk", h_a, A_slices, seq)
-            delta_eos = jnp.einsum("bli,id,bld->bl", h_a, A[:, :, 1], seq)
-            base = base + delta
-            base_eos = base_eos + delta_eos
-
-        logits = jnp.concatenate([base, base_eos[..., None]], axis=-1)
+            dm = d.t5.d_model
+            b = seq.shape[0]
+            # per-level delta-weight matmul, then contract with seq
+            tmp = jnp.einsum("bli,lix->blx", h_a, A_lvl)
+            logits = logits + jnp.einsum(
+                "bldk,bld->blk", tmp.reshape(b, L, dm, K + 1), seq)
         # final position (t = L-1) only allows EOS (modeling_t5.py:1306)
         last = jnp.full((K + 1,), 0.0).at[:K].set(NEG)
         pos_mask = jnp.zeros((L, K + 1)).at[L - 1].set(last)
@@ -229,14 +246,17 @@ class NCIT5(nn.Module):
 
     def compact_logits_at(self, decoder_input_ids, t, memory,
                           memory_mask=None, cross_kvs=None,
-                          deterministic=True,
+                          deterministic=True, level_tables=None,
                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Compact logits for a single position ``t`` (traced scalar).
 
-        The decode-loop hot path: the PAWA weight-delta einsum and the
+        The decode-loop hot path: the PAWA weight-delta matmul and the
         head slice run for ONE position instead of all L — in the beam
         search only step t's logits are consumed, and the PAWA delta is
         the dominant FLOP term (d_model^2 x (kary+1) per position).
+        ``level_tables``: optional per-step (W_t (K+1, d),
+        A_t (d_in, d*(K+1))) from :meth:`head_level_tables` — pass them
+        through the scan's xs so the table build is not in the loop body.
         Returns (logits (b, kary+1), dec_hidden (b, L, d)).
         """
         d = self.dims
@@ -249,29 +269,38 @@ class NCIT5(nn.Module):
             cross_kvs=cross_kvs, deterministic=deterministic)
         seq_t = jax.lax.dynamic_index_in_dim(
             dec_hidden, t, axis=1, keepdims=False) * (d.t5.d_model ** -0.5)
-
-        W = self._head_matrix()
-        rows = jax.lax.dynamic_slice_in_dim(W, 2 + t * K, K, 0)  # (K, d)
-        base = jnp.einsum("bd,kd->bk", seq_t, rows)
-        base_eos = seq_t @ W[1]
-
+        h_t = None
         if d.use_pawa:
             h_a = self.pawa(dec_embeds, deterministic=deterministic)
             h_t = jax.lax.dynamic_index_in_dim(h_a, t, axis=1,
                                                keepdims=False)
-            A = self._adaptor_tensor()                 # (d_in, d, V)
-            A_t = jax.lax.dynamic_slice_in_dim(A, 2 + t * K, K, 2)
-            base = base + jnp.einsum("bi,idk,bd->bk", h_t, A_t, seq_t)
-            base_eos = base_eos + jnp.einsum("bi,id,bd->b", h_t,
-                                             A[:, :, 1], seq_t)
-
-        logits = jnp.concatenate([base, base_eos[:, None]], axis=-1)
+        logits = self._level_logits(seq_t, h_t, t, level_tables)
         # final position only allows EOS
         last = jnp.where(jnp.equal(t, L - 1),
                          jnp.concatenate([jnp.full((K,), NEG),
                                           jnp.zeros((1,))]),
                          jnp.zeros((K + 1,)))
         return logits + last[None], dec_hidden
+
+    def _level_logits(self, seq_t, h_t, t, level_tables=None):
+        """[codes, EOS] logits for one position: seq_t (b, d), h_t (b, d)
+        or None; t traced.  The PAWA delta is ``(h_t @ A_t)`` — one
+        (b, d) x (d, d*(K+1)) MXU matmul — contracted with seq_t."""
+        d = self.dims
+        K = d.kary
+        dm = d.t5.d_model
+        if level_tables is not None:
+            W_t, A_t = level_tables
+        else:
+            W_lvl, A_lvl = self.head_level_tables()
+            W_t = jax.lax.dynamic_index_in_dim(W_lvl, t, 0, False)
+            A_t = (None if A_lvl is None else
+                   jax.lax.dynamic_index_in_dim(A_lvl, t, 0, False))
+        logits = seq_t @ W_t.T                        # (b, K+1)
+        if h_t is not None and A_t is not None:
+            tmp = (h_t @ A_t).reshape(-1, dm, K + 1)
+            logits = logits + jnp.einsum("bdk,bd->bk", tmp, seq_t)
+        return logits
 
     # -- incremental decoding (KV caches; the serving hot path) ----------
 
@@ -289,13 +318,15 @@ class NCIT5(nn.Module):
 
     def decode_logits_step(self, tok_t, t, dec_cache, pawa_cache,
                            cross_kvs, pawa_mem, memory_mask=None,
-                           beams: int = 1):
+                           beams: int = 1, level_tables=None):
         """Single-token decode: tok_t (b, 1) int32 at position t.
 
         Computes only position t through the decoder and PAWA via KV
         caches (the panel path recomputes all L positions per step).
         With ``beams > 1``, ``cross_kvs``/``memory_mask`` are per-QUERY
         (b // beams rows) and shared across each query's beams.
+        ``level_tables``: optional per-step (W_t, A_t) slices of
+        :meth:`head_level_tables` (feed through the scan's xs).
         Returns (compact logits (b, kary+1), dec_cache, pawa_cache).
         """
         d = self.dims
@@ -306,21 +337,12 @@ class NCIT5(nn.Module):
             embed_t, t, dec_cache, cross_kvs, extend_mask(memory_mask),
             beams=beams)
         seq_t = hidden_t[:, 0, :] * (d.t5.d_model ** -0.5)
-
-        W = self._head_matrix()
-        rows = jax.lax.dynamic_slice_in_dim(W, 2 + t * K, K, 0)
-        base = jnp.einsum("bd,kd->bk", seq_t, rows)
-        base_eos = seq_t @ W[1]
+        h_t = None
         if d.use_pawa:
             h_t, pawa_cache = self.pawa.decode_step(
                 embed_t, t, pawa_cache, pawa_mem)
             h_t = h_t[:, 0, :]
-            A = self._adaptor_tensor()
-            A_t = jax.lax.dynamic_slice_in_dim(A, 2 + t * K, K, 2)
-            base = base + jnp.einsum("bi,idk,bd->bk", h_t, A_t, seq_t)
-            base_eos = base_eos + jnp.einsum("bi,id,bd->b", h_t,
-                                             A[:, :, 1], seq_t)
-        logits = jnp.concatenate([base, base_eos[:, None]], axis=-1)
+        logits = self._level_logits(seq_t, h_t, t, level_tables)
         last = jnp.where(jnp.equal(t, L - 1),
                          jnp.concatenate([jnp.full((K,), NEG),
                                           jnp.zeros((1,))]),

@@ -75,6 +75,14 @@ class TorchMultiheadAttention(nn.Module):
         v = x @ self.in_proj_kernel[:, 2 * dm:] + self.in_proj_bias[2 * dm:]
         return self._split(k), self._split(v)
 
+    def project_qkv(self, x):
+        """q/k/v in one packed-in-proj matmul (decode-step hot path)."""
+        dm = self.dims.d_model
+        qkv = x @ self.in_proj_kernel + self.in_proj_bias
+        return (self._split(qkv[..., :dm]),
+                self._split(qkv[..., dm:2 * dm]),
+                self._split(qkv[..., 2 * dm:]))
+
     def attend(self, q, k, v, attn_mask=None, deterministic=True):
         d = self.dims
         dk = d.d_model // d.num_heads
@@ -91,8 +99,11 @@ class TorchMultiheadAttention(nn.Module):
         return self.out_proj(ctx)
 
     def __call__(self, q_in, kv_in, attn_mask=None, deterministic=True):
-        q = self.project_q(q_in)
-        k, v = self.project_kv(kv_in)
+        if q_in is kv_in:                       # self-attn: fused in-proj
+            q, k, v = self.project_qkv(q_in)
+        else:
+            q = self.project_q(q_in)
+            k, v = self.project_kv(kv_in)
         return self.attend(q, k, v, attn_mask, deterministic)
 
 
@@ -129,22 +140,20 @@ class TorchDecoderLayer(nn.Module):
         x = self.norm2(x + ca)
         return self._ff(x, deterministic)
 
-    def decode_step(self, x_t, t, cache_kv, mem_kv):
+    def decode_step(self, x_t, t, cache_kv, mem_const):
         """Incremental step: x_t (b, 1, d); cache_kv (k, v) of shape
-        (b, h, max_len, dk); mem_kv precomputed memory (k, v)."""
+        (b, h, max_len, dk); mem_const the precomputed cross-attn output
+        (see :meth:`PawaAdaptor.precompute_mem_kvs`)."""
         max_len = cache_kv[0].shape[2]
         pos = jnp.arange(max_len)
         causal = jnp.where(pos[None, None, None, :] <= t, 0.0,
                            -1e9).astype(jnp.float32)
-        q = self.self_attn.project_q(x_t)
-        k_t, v_t = self.self_attn.project_kv(x_t)
+        q, k_t, v_t = self.self_attn.project_qkv(x_t)
         ck = jax.lax.dynamic_update_slice_in_dim(cache_kv[0], k_t, t, 2)
         cv = jax.lax.dynamic_update_slice_in_dim(cache_kv[1], v_t, t, 2)
         sa = self.self_attn.attend(q, ck, cv, causal)
         x = self.norm1(x_t + sa)
-        cq = self.cross_attn.project_q(x)
-        ca = self.cross_attn.attend(cq, *mem_kv)
-        x = self.norm2(x + ca)
+        x = self.norm2(x + mem_const)
         return self._ff(x, True), (ck, cv)
 
 
@@ -178,14 +187,19 @@ class PawaAdaptor(nn.Module):
     # -- incremental decoding ---------------------------------------------
 
     def precompute_mem_kvs(self, batch: int, dtype=None):
-        """The memory is a single learned vector: its (k, v) per layer
-        depend only on params — project once, broadcast over batch."""
+        """The memory is ONE learned vector, so each layer's
+        cross-attention is softmax over a single key — identity — and the
+        whole block collapses to the constant ``out_proj(v_mem)``.
+        Returns that (1, 1, d) constant per layer (broadcasts over the
+        beam batch in the residual add)."""
+        del batch  # constants broadcast; kept for call-site stability
         mem = self.memory_embedding.astype(dtype or self.dims.dtype)
         out = []
         for layer in self.layers:
-            k, v = layer.cross_attn.project_kv(mem)     # (1, h, 1, dk)
-            out.append((jnp.broadcast_to(k, (batch,) + k.shape[1:]),
-                        jnp.broadcast_to(v, (batch,) + v.shape[1:])))
+            _, v = layer.cross_attn.project_kv(mem)     # (1, h, 1, dk)
+            d = self.dims
+            ctx = v.transpose(0, 2, 1, 3).reshape(1, 1, d.d_model)
+            out.append(layer.cross_attn.out_proj(ctx))
         return out
 
     def init_cache(self, batch: int, max_len: int, dtype=None):

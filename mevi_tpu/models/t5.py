@@ -136,17 +136,38 @@ class T5Attention(nn.Module):
     def __call__(self, hidden, kv_hidden=None, mask=None,
                  position_bias=None, kv_cache=None):
         """kv_cache: optional precomputed (k, v) heads for cross-attn."""
-        q = self._split(self.q(hidden))
         if kv_cache is not None:
+            q = self._split(self.q(hidden))
             k, v = kv_cache
+        elif kv_hidden is None:
+            q, k, v = self.project_qkv(hidden)
         else:
-            src = hidden if kv_hidden is None else kv_hidden
-            k = self._split(self.k(src))
-            v = self._split(self.v(src))
+            q = self._split(self.q(hidden))
+            k = self._split(self.k(kv_hidden))
+            v = self._split(self.v(kv_hidden))
         if position_bias is None and self.has_relative_bias:
             position_bias = self.compute_bias(q.shape[2], k.shape[2])
         ctx = self.attend(q, k, v, position_bias, mask)
         return self.o(ctx), position_bias
+
+    def project_qkv(self, hidden):
+        """Self-attention q/k/v in ONE (d, 3*inner) matmul — three
+        back-to-back (rows, d) x (d, inner) dispatches were a measured
+        overhead in the decode step (scripts/profile_step.py)."""
+        d = self.dims
+        inner = d.num_heads * d.d_kv
+        if self.is_initializing():          # params don't exist yet
+            return (self._split(self.q(hidden)),
+                    self._split(self.k(hidden)),
+                    self._split(self.v(hidden)))
+        Wq = self.q.variables["params"]["kernel"]
+        Wk = self.k.variables["params"]["kernel"]
+        Wv = self.v.variables["params"]["kernel"]
+        qkv = hidden @ jnp.concatenate([Wq, Wk, Wv], axis=1).astype(
+            hidden.dtype)
+        return (self._split(qkv[..., :inner]),
+                self._split(qkv[..., inner:2 * inner]),
+                self._split(qkv[..., 2 * inner:]))
 
     def project_kv(self, kv_hidden):
         return self._split(self.k(kv_hidden)), self._split(self.v(kv_hidden))
@@ -303,9 +324,7 @@ class T5Stack(nn.Module):
         for i, block in enumerate(self.blocks):
             attn = block.self_attn
             x = block.self_norm(hidden)
-            q = attn._split(attn.q(x))                 # (b, h, 1, dk)
-            k_t = attn._split(attn.k(x))
-            v_t = attn._split(attn.v(x))
+            q, k_t, v_t = attn.project_qkv(x)          # (b, h, 1, dk)
             ck, cv = cache[i]
             ck = jax.lax.dynamic_update_slice_in_dim(ck, k_t, t, axis=2)
             cv = jax.lax.dynamic_update_slice_in_dim(cv, v_t, t, axis=2)

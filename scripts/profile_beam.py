@@ -151,25 +151,29 @@ def main():
     def dec_steps_only(params, tok, kvs_b, mem_mask_b):
         dec_cache, pawa_cache, pawa_mem = apply_p(
             params, NCIT5.init_decode_state, R)
+        W_lvl, A_lvl = apply_p(params, NCIT5.head_level_tables)
 
-        def body(carry, t):
+        def body(carry, xs):
+            t, W_t, A_t = xs
             tok, dec_cache, pawa_cache = carry
             logits, dec_cache, pawa_cache = apply_p(
                 params, NCIT5.decode_logits_step, tok, t, dec_cache,
-                pawa_cache, kvs_b, pawa_mem, mem_mask_b)
+                pawa_cache, kvs_b, pawa_mem, mem_mask_b,
+                level_tables=(W_t, A_t))
             nxt = jnp.argmax(logits[:, :KARY], -1).astype(jnp.int32)
             return (nxt[:, None] + t * KARY + 2, dec_cache,
                     pawa_cache), logits.sum()
 
-        _, outs = jax.lax.scan(body, (tok, dec_cache, pawa_cache),
-                               jnp.arange(M + 1))
+        _, outs = jax.lax.scan(
+            body, (tok, dec_cache, pawa_cache),
+            (jnp.arange(M + 1), W_lvl[:M + 1], A_lvl[:M + 1]))
         return outs
 
     dec_steps_only(params, tok, kvs_b, mem_mask_b)
     report(f"{M+1} greedy decode steps (R={R})",
            timeit(dec_steps_only, params, tok, kvs_b, mem_mask_b), B)
 
-    # adaptor einsum alone (the PAWA head delta)
+    # adaptor head delta alone: old 3-operand einsum vs packed matmul
     h_t = jnp.ones((R, 768), dt)
     seq_t = jnp.ones((R, 768), dt)
     A_param = params["adaptor_kernel"]
@@ -181,8 +185,21 @@ def main():
         return jnp.einsum("bi,idk,bd->bk", h_t, A_t, seq_t)
 
     adaptor_einsum(A_param, h_t, seq_t)
-    report("adaptor einsum (1 step)",
+    report("adaptor einsum OLD (1 step)",
            timeit(adaptor_einsum, A_param, h_t, seq_t))
+
+    @jax.jit
+    def adaptor_packed(A_param, h_t, seq_t):
+        A = A_param.reshape(768, 768, dims.decode_vocab_size)
+        A_t = jnp.concatenate(
+            [A[:, :, 2 + KARY:2 + 2 * KARY], A[:, :, 1:2]],
+            -1).reshape(768, 768 * (KARY + 1))
+        tmp = (h_t @ A_t).reshape(-1, 768, KARY + 1)
+        return jnp.einsum("bdk,bd->bk", tmp, seq_t)
+
+    adaptor_packed(A_param, h_t, seq_t)
+    report("adaptor packed NEW (1 step)",
+           timeit(adaptor_packed, A_param, h_t, seq_t))
 
 
 if __name__ == "__main__":
