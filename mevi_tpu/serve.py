@@ -168,15 +168,21 @@ class PallasServer:
         self._pool = _pool
         self._M = M
 
-    def query_device(self, query_ids, query_mask):
+    def query_device(self, query_ids, query_mask, cidx_override=None):
         """Device half: three dispatches, zero host hops (the CSR offsets
         lookup rides a DMA inside the bucket kernel).  Returns ONE packed
         device array; its host copy starts immediately so back-to-back
-        batches pipeline."""
+        batches pipeline.
+
+        ``cidx_override``: optional (B*nb + pad,) int32 cluster indices
+        replacing the beam's (bench harness: drives the bucket stage with
+        occupied clusters when the NCI weights are random)."""
         B = query_ids.shape[0]
         # dispatch 1: qenc + beam + cidx/q_rep prep
         qemb, codes, beam_scores, cidx, q_rep = self._coarse(
             self.q_params, self.nci_params, query_ids, query_mask)
+        if cidx_override is not None:
+            cidx = cidx_override
         # dispatch 2: fused bucket kernel (own program — mixing the
         # Mosaic custom call into a larger XLA program degrades it)
         scores, rows = self._bucket(self.sorted_emb, self.offsets2d,
