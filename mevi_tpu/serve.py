@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from .decode.beam import nci_beam_search
+from .decode.beam import nci_beam_search_incremental
 from .eval.searcher import FineIndex, _beam_scores
 from .models.nci import NCIT5
 from .models.t5 import T5Model
@@ -53,9 +53,9 @@ def serve_batch(
     kary = nci.dims.kary
     qemb = qtower.apply({"params": q_params}, query_ids, query_mask,
                         method=T5Model.first_token_rep)
-    codes, beam_scores, _, _ = nci_beam_search(
+    codes, beam_scores, _ = nci_beam_search_incremental(
         nci, nci_params, query_ids, query_mask, num_beams,
-        length_penalty)
+        length_penalty=length_penalty)
     scores, ids, sizes = _beam_scores(
         qemb.astype(sorted_emb.dtype), codes, offsets, doc_ids,
         sorted_emb, kary, cap)
@@ -239,9 +239,9 @@ def make_sharded_server(qtower, nci, mesh: Mesh, num_beams: int = 10,
         rows_per = emb_shard.shape[0]  # local shard rows
         qemb = qtower.apply({"params": q_params}, query_ids, query_mask,
                             method=T5Model.first_token_rep)
-        codes, beam_scores, _, _ = nci_beam_search(
+        codes, beam_scores, _ = nci_beam_search_incremental(
             nci, nci_params, query_ids, query_mask, num_beams,
-            length_penalty)
+            length_penalty=length_penalty)
         shard = jax.lax.axis_index(CORPUS_AXIS)
         scores, ids, _ = _beam_scores(
             qemb.astype(emb_shard.dtype), codes, offsets, doc_ids,
