@@ -415,10 +415,19 @@ def run(NDOC, extras):
         return nci_beam_search_incremental(
             nci, nci_params, batches[i % NBATCH][0], mask, NBEAM)[0]
 
+    _, _, _, _, q_rep0 = server._coarse(
+        server.q_params, server.nci_params, batches[0][0], mask)
+
+    def bucket_fn(i):
+        return server._bucket(server.sorted_emb, server.offsets2d,
+                              batches[i % NBATCH][2], q_rep0, CAP)[0]
+
     t_qenc = timed(qenc_fn)
     t_beam = timed(beam_fn)
+    t_bucket = timed(bucket_fn)
     stage = {"qenc_ms": round(t_qenc * 1e3, 1),
              "beam_ms": round(t_beam * 1e3, 1),
+             "bucket_ms": round(t_bucket * 1e3, 1),
              "rpc_floor_ms": extras["rpc_floor_ms"]}
     # rough MFU vs the v5e bf16 peak (197 TFLOP/s)
     if on_tpu:
