@@ -135,17 +135,9 @@ def run(NDOC, extras):
             lambda x: x.astype(dt)
             if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, t)
 
-    log("init params...")
-    t0 = time.time()
-    nci_params = jax.jit(
-        lambda k: cast(nci.init(k, ids, mask, dec_in)["params"]))(rng)
-    q_params = jax.jit(
-        lambda k: cast(qtower.init(
-            k, ids, mask, jnp.zeros((BATCH, 1), jnp.int32))["params"])
-    )(rng)
-    fetch1(nci_params)
-    fetch1(q_params)
-    log(f"params ready: {time.time() - t0:.1f}s")
+    # (params are initialized AFTER the corpus transfer: the 13.6 GB
+    # sorted matrix must grab its HBM block first — at 8.84M docs the
+    # two don't fit in the other order)
 
     # ---- corpus: clustered Gaussians with Zipf-skewed cluster sizes ----
     # artifacts are disk-cached: generation + RQ fit + assignment are
@@ -272,6 +264,18 @@ def run(NDOC, extras):
     t0 = time.time()
     fetch1(fine.sorted_emb)
     log(f"index on device: {time.time() - t0:.1f}s")
+
+    log("init params...")
+    t0 = time.time()
+    nci_params = jax.jit(
+        lambda k: cast(nci.init(k, ids, mask, dec_in)["params"]))(rng)
+    q_params = jax.jit(
+        lambda k: cast(qtower.init(
+            k, ids, mask, jnp.zeros((BATCH, 1), jnp.int32))["params"])
+    )(rng)
+    fetch1(nci_params)
+    fetch1(q_params)
+    log(f"params ready: {time.time() - t0:.1f}s")
 
     from mevi_tpu.serve import PallasServer
     server = PallasServer(qtower, nci, q_params, nci_params, fine,
@@ -453,7 +457,7 @@ def main():
     NDOC = int(os.environ.get("BENCH_NDOC", 8_841_823))
     extras = {}
     qps = None
-    for ndoc_try in (NDOC, NDOC // 4, 1_000_000):
+    for ndoc_try in (NDOC, NDOC // 2, 1_000_000):
         try:
             qps = run(ndoc_try, extras)
             break
@@ -462,6 +466,17 @@ def main():
             if ndoc_try <= 1_000_000:
                 raise
             extras = {"fallback_from_ndoc": ndoc_try}
+            # the caught traceback pins run()'s locals — incl. the
+            # device-resident corpus — keeping HBM exhausted for the
+            # retry; drop it and force a device GC
+            e = None
+            import gc
+            gc.collect()
+            try:
+                import jax
+                jax.clear_caches()
+            except Exception:
+                pass
     emit_result({
         "metric": "serving_queries_per_sec_per_chip",
         "value": round(qps, 2),
