@@ -236,8 +236,11 @@ def run(NDOC, extras):
         row = _gen(tables, dr).astype(buf.dtype)
         return jax.lax.dynamic_update_slice_in_dim(buf, row, i, 0)
 
-    for s in range(0, NDOC, CH):
-        e = min(NDOC, s + CH)
+    # small fill chunks: the generator's f32 temporaries ride on top of
+    # the full corpus buffer (XLA compile-time budget is 15.75G hbm)
+    CH_FILL = 1 << 16
+    for s in range(0, NDOC, CH_FILL):
+        e = min(NDOC, s + CH_FILL)
         buf = fill(buf, tables, jnp.asarray(draws[doc_ids[s:e]]),
                    jnp.int32(s))
     fetch1(buf)
