@@ -231,18 +231,28 @@ def run(NDOC, extras):
     n_pad += (-n_pad) % 8
     buf = jnp.zeros((n_pad, D), dt)
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def fill(buf, tables, dr, i):
-        row = _gen(tables, dr).astype(buf.dtype)
-        return jax.lax.dynamic_update_slice_in_dim(buf, row, i, 0)
+    # ONE scan program fills the whole matrix: separate per-chunk
+    # dispatches each pre-allocate their f32 generator temporaries at
+    # ENQUEUE time, so a queue of them runs the 15.75G hbm out next to
+    # the 13.6G buffer; the scan allocates one temp set.  The final
+    # chunk re-covers [NDOC-CH, NDOC) so every start index is in range.
+    CH_FILL = min(1 << 16, NDOC)
+    starts = list(range(0, NDOC - CH_FILL + 1, CH_FILL))
+    if starts[-1] + CH_FILL < NDOC:
+        starts.append(NDOC - CH_FILL)
+    dr_all = np.stack([draws[doc_ids[s:s + CH_FILL]] for s in starts])
 
-    # small fill chunks: the generator's f32 temporaries ride on top of
-    # the full corpus buffer (XLA compile-time budget is 15.75G hbm)
-    CH_FILL = 1 << 16
-    for s in range(0, NDOC, CH_FILL):
-        e = min(NDOC, s + CH_FILL)
-        buf = fill(buf, tables, jnp.asarray(draws[doc_ids[s:e]]),
-                   jnp.int32(s))
+    @partial(jax.jit, donate_argnums=(0,))
+    def fill_all(buf, tables, dr_all, starts):
+        def body(b, xs):
+            dr, i = xs
+            row = _gen(tables, dr).astype(b.dtype)
+            return jax.lax.dynamic_update_slice_in_dim(b, row, i, 0), ()
+        return jax.lax.scan(body, buf,
+                            (dr_all, starts))[0]
+
+    buf = fill_all(buf, tables, jnp.asarray(dr_all),
+                   jnp.asarray(starts, jnp.int32))
     fetch1(buf)
     fine = FineIndex(jnp.asarray(offsets.astype(np.int64)),
                      jnp.asarray(doc_ids), buf, M, KARY,
