@@ -203,6 +203,106 @@ def bucket_scores_fused(semb: jnp.ndarray, offsets2d: jnp.ndarray,
     )(cidx, qemb, offsets2d, semb)
 
 
+def _kernel_v2(starts_ref, ends_ref, q_ref, semb_ref, out_ref, row_ref,
+               emb_buf, sems, *, cap: int, neg: float):
+    """Double-buffered bucket scorer: step g's compute overlaps step
+    g+1's embedding DMAs (the fused-offsets kernel serializes
+    DMA -> wait -> compute per step; bucket starts/ends are gathered by
+    XLA in the coarse dispatch instead, a 5k-element gather)."""
+    g = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    def dma(step, slot, r):
+        s = starts_ref[step * ROWS + r]
+        al = pl.multiple_of((s // ALIGN) * ALIGN, ALIGN)
+        return pltpu.make_async_copy(
+            semb_ref.at[pl.ds(al, cap), :], emb_buf.at[slot, r],
+            sems.at[slot, r])
+
+    slot = jax.lax.rem(g, 2)
+    nslot = jax.lax.rem(g + 1, 2)
+
+    @pl.when(g == 0)
+    def _():
+        for r in range(ROWS):
+            dma(0, slot, r).start()
+
+    @pl.when(g + 1 < n)
+    def _():
+        for r in range(ROWS):
+            dma(g + 1, nslot, r).start()
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, cap), 1)
+    for r in range(ROWS):
+        dma(g, slot, r).wait()
+        s = starts_ref[g * ROWS + r]
+        e = ends_ref[g * ROWS + r]
+        al = (s // ALIGN) * ALIGN
+        q = q_ref[r, :].astype(jnp.float32)
+        block = emb_buf[slot, r].astype(jnp.float32)       # (cap, d)
+        sc = jnp.sum(block * q[None, :], axis=-1)[None, :]
+        rows = al + lane
+        ok = (rows >= s) & (rows < e)
+        out_ref[r, :] = jnp.where(ok, sc, neg)[0]
+        row_ref[r, :] = jnp.where(ok, rows, -1)[0]
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def bucket_scores_v2(semb: jnp.ndarray, starts: jnp.ndarray,
+                     ends: jnp.ndarray, qemb: jnp.ndarray, cap: int):
+    """Bucket scoring from precomputed CSR bounds.
+
+    Args:
+      semb: (N, d) cluster-sorted embeddings, N % 8 == 0, >= cap slack.
+      starts/ends: (G,) int32 bucket bounds (G % 8 == 0; pad with 0/0).
+      qemb: (G, d) per-bucket query rows.
+    Returns (scores (G, cap) f32 masked to bounds, rows (G, cap) int32,
+    -1 where invalid) — same contract as :func:`bucket_scores_fused`.
+    """
+    G, d = qemb.shape
+    assert G % ROWS == 0
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(G // ROWS,),
+        in_specs=[
+            pl.BlockSpec((ROWS, d), lambda g, s, e: (g, 0),
+                         memory_space=pltpu.VMEM),      # qemb rows
+            pl.BlockSpec(memory_space=pltpu.ANY),       # semb (HBM)
+        ],
+        out_specs=[
+            pl.BlockSpec((ROWS, cap), lambda g, s, e: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROWS, cap), lambda g, s, e: (g, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, ROWS, cap, d), semb.dtype),
+            pltpu.SemaphoreType.DMA((2, ROWS)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel_v2, cap=cap, neg=-1e30),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((G, cap), jnp.float32),
+            jax.ShapeDtypeStruct((G, cap), jnp.int32),
+        ],
+    )(starts, ends, qemb, semb)
+
+
+def bucket_scores_v2_reference(semb, starts, ends, qemb, cap):
+    """XLA oracle for :func:`bucket_scores_v2` (CPU path + tests)."""
+    al = (starts // ALIGN) * ALIGN
+    pos = jnp.arange(cap, dtype=jnp.int32)
+    rows = al[:, None] + pos
+    ok = (rows >= starts[:, None]) & (rows < ends[:, None])
+    block = semb[jnp.clip(rows, 0, semb.shape[0] - 1)]
+    sc = jnp.einsum("gd,gcd->gc", qemb.astype(jnp.float32),
+                    block.astype(jnp.float32))
+    return (jnp.where(ok, sc, -1e30),
+            jnp.where(ok, rows, -1))
+
+
 def pack_offsets_2d(offsets: "np.ndarray"):
     """CSR offsets (C+1,) -> (rows, 128) int32 padded for the fused
     kernel (rows a multiple of 16, padding = last offset)."""
