@@ -236,8 +236,6 @@ class FineReranker:
             self.offsets_h = np.asarray(index.offsets).astype(np.int64)
             self.doc_ids_h = np.asarray(index.doc_ids)
         if not self.on_cpu:
-            from ..ops.bucket import pack_offsets_2d
-            self.offsets2d = jnp.asarray(pack_offsets_2d(self.offsets_h))
             n = index.sorted_emb.shape[0]
             need = int(self.offsets_h[-1]) + cap
             need += (-need) % 8

@@ -83,8 +83,7 @@ class PallasServer:
         import numpy as np
         from .index.csr import pack_codes
         from .ops.bucket import (ROWS, bucket_scores_v2,
-                                 bucket_scores_v2_reference,
-                                 pack_offsets_2d)
+                                 bucket_scores_v2_reference)
         self.qtower, self.nci = qtower, nci
         self.q_params, self.nci_params = q_params, nci_params
         self.num_beams, self.cap, self.pool = num_beams, cap, pool
@@ -99,7 +98,6 @@ class PallasServer:
         else:
             self.offsets_h = np.asarray(index.offsets).astype(np.int64)
             self.doc_ids_h = np.asarray(index.doc_ids)
-        self.offsets2d = jnp.asarray(pack_offsets_2d(self.offsets_h))
         self.offsets_dev = jnp.asarray(self.offsets_h.astype(np.int32))
         # slack so aligned cap-row slices starting at any bucket stay in
         # bounds; prefer host-side padding (build_fine_index(pad_rows=...))
