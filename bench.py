@@ -285,18 +285,17 @@ def run(NDOC, extras):
 
     # ---- kernel-vs-oracle assert on device ------------------------------
     if on_tpu:
-        from mevi_tpu.ops.bucket import (bucket_scores_v2,
-                                         bucket_scores_v2_reference)
+        from mevi_tpu.ops.bucket import (bucket_scores_fused,
+                                         bucket_scores_fused_reference)
         g = 64
-        cidx_s = host.choice(cidx_all, size=g)
-        st_s = jnp.asarray(offsets[cidx_s].astype(np.int32))
-        en_s = jnp.asarray(offsets[cidx_s + 1].astype(np.int32))
+        cidx_s = jnp.asarray(
+            host.choice(cidx_all, size=g).astype(np.int32))
         q_s = jnp.asarray(host.normal(size=(g, D)).astype(
             np.float32)).astype(dt)
-        k_s, k_r = bucket_scores_v2(
-            server.sorted_emb, st_s, en_s, q_s, CAP)
-        o_s, o_r = bucket_scores_v2_reference(
-            server.sorted_emb, st_s, en_s, q_s, CAP)
+        k_s, k_r = bucket_scores_fused(
+            server.sorted_emb, server.offsets2d, cidx_s, q_s, CAP)
+        o_s, o_r = bucket_scores_fused_reference(
+            server.sorted_emb, server.offsets2d, cidx_s, q_s, CAP)
         k_s, k_r, o_s, o_r = (np.asarray(x) for x in (k_s, k_r, o_s, o_r))
         assert (k_r == o_r).all(), "bucket kernel row mismatch"
         valid = k_r >= 0
@@ -379,14 +378,12 @@ def run(NDOC, extras):
     ndoc_seen = []
     for i in range(NBATCH):
         ids_i = jnp.asarray(np.full((BATCH, QLEN), 1 + (i % 7), np.int32))
-        ci = cidx_all[host.integers(0, NDOC, size=g)]
-        st = offsets[ci].astype(np.int32)
-        en = offsets[ci + 1].astype(np.int32)
-        ndoc_seen.append((en - st).reshape(BATCH, NBEAM).sum(-1).mean())
-        st = np.pad(st, (0, g_pad - g))
-        en = np.pad(en, (0, g_pad - g))
-        batches.append((ids_i, mask,
-                        (jnp.asarray(st), jnp.asarray(en))))
+        ci = cidx_all[host.integers(0, NDOC, size=g)].astype(np.int32)
+        ndoc_seen.append(
+            (offsets[ci + 1] - offsets[ci]).reshape(BATCH, NBEAM)
+            .sum(-1).mean())
+        ci = np.pad(ci, (0, g_pad - g))
+        batches.append((ids_i, mask, jnp.asarray(ci)))
     t0 = time.time()
     handles = [server.query_device(i, m, c) for i, m, c in batches]
     results = [server.finalize(h) for h in handles]
@@ -421,13 +418,12 @@ def run(NDOC, extras):
         return nci_beam_search_incremental(
             nci, nci_params, batches[i % NBATCH][0], mask, NBEAM)[0]
 
-    _, _, _, _, _, q_rep0 = server._coarse(
-        server.q_params, server.nci_params, batches[0][0], mask,
-        server.offsets_dev)
+    _, _, _, _, q_rep0 = server._coarse(
+        server.q_params, server.nci_params, batches[0][0], mask)
 
     def bucket_fn(i):
-        st, en = batches[i % NBATCH][2]
-        return server._bucket(server.sorted_emb, st, en, q_rep0, CAP)[0]
+        return server._bucket(server.sorted_emb, server.offsets2d,
+                              batches[i % NBATCH][2], q_rep0, CAP)[0]
 
     t_qenc = timed(qenc_fn)
     t_beam = timed(beam_fn)

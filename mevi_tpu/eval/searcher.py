@@ -236,6 +236,8 @@ class FineReranker:
             self.offsets_h = np.asarray(index.offsets).astype(np.int64)
             self.doc_ids_h = np.asarray(index.doc_ids)
         if not self.on_cpu:
+            from ..ops.bucket import pack_offsets_2d
+            self.offsets2d = jnp.asarray(pack_offsets_2d(self.offsets_h))
             n = index.sorted_emb.shape[0]
             need = int(self.offsets_h[-1]) + cap
             need += (-need) % 8
@@ -303,23 +305,20 @@ class FineReranker:
             if over.any():
                 s, i = self._scan_overflow(query_emb, s, i, over)
             return s, i, nd
-        from ..ops.bucket import ROWS, bucket_scores_v2
+        from ..ops.bucket import ROWS, bucket_scores_fused
+        cidx_h = ci_h.astype(np.int32)
         G = B * nb
         pad_g = (-G) % ROWS
-        st_h = self.offsets_h[ci_h].astype(np.int32)
-        en_h = self.offsets_h[ci_h + 1].astype(np.int32)
-        if pad_g:
-            st_h = np.concatenate([st_h, np.zeros(pad_g, np.int32)])
-            en_h = np.concatenate([en_h, np.zeros(pad_g, np.int32)])
+        cidx = jnp.asarray(np.concatenate(
+            [cidx_h, np.zeros(pad_g, np.int32)]) if pad_g else cidx_h)
         q_rep = jnp.repeat(jnp.asarray(query_emb).astype(
             self.semb.dtype), nb, axis=0)
         if pad_g:
             q_rep = jnp.concatenate(
                 [q_rep, jnp.zeros((pad_g, q_rep.shape[1]),
                                   q_rep.dtype)], axis=0)
-        scores, rows = bucket_scores_v2(self.semb, jnp.asarray(st_h),
-                                        jnp.asarray(en_h), q_rep,
-                                        self.cap)
+        scores, rows = bucket_scores_fused(self.semb, self.offsets2d,
+                                           cidx, q_rep, self.cap)
         top_scores, top_rows = self._pool(scores, rows, B, nb)
         top_rows_h = np.asarray(top_rows)
         top_ids = np.where(top_rows_h >= 0,

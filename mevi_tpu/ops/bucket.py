@@ -206,9 +206,13 @@ def bucket_scores_fused(semb: jnp.ndarray, offsets2d: jnp.ndarray,
 def _kernel_v2(starts_ref, ends_ref, q_ref, semb_ref, out_ref, row_ref,
                emb_buf, sems, *, cap: int, neg: float):
     """Double-buffered bucket scorer: step g's compute overlaps step
-    g+1's embedding DMAs (the fused-offsets kernel serializes
-    DMA -> wait -> compute per step; bucket starts/ends are gathered by
-    XLA in the coarse dispatch instead, a 5k-element gather)."""
+    g+1's embedding DMAs; bucket starts/ends come precomputed (an XLA
+    gather in the caller) instead of the in-kernel offsets lookup.
+
+    MEASURED SLOWER than :func:`bucket_scores_fused` at serving geometry
+    (48.8 vs 37.6 ms at G=5120, cap=512 in bench.py; the traced scratch
+    slot index defeats Mosaic's own pipelining) — kept as a reference
+    experiment, the serving paths use the fused kernel."""
     g = pl.program_id(0)
     n = pl.num_programs(0)
 

@@ -82,8 +82,9 @@ class PallasServer:
                  pool: int = 1000, length_penalty: float = 0.8):
         import numpy as np
         from .index.csr import pack_codes
-        from .ops.bucket import (ROWS, bucket_scores_v2,
-                                 bucket_scores_v2_reference)
+        from .ops.bucket import (ROWS, bucket_scores_fused,
+                                 bucket_scores_fused_reference,
+                                 pack_offsets_2d)
         self.qtower, self.nci = qtower, nci
         self.q_params, self.nci_params = q_params, nci_params
         self.num_beams, self.cap, self.pool = num_beams, cap, pool
@@ -98,7 +99,7 @@ class PallasServer:
         else:
             self.offsets_h = np.asarray(index.offsets).astype(np.int64)
             self.doc_ids_h = np.asarray(index.doc_ids)
-        self.offsets_dev = jnp.asarray(self.offsets_h.astype(np.int32))
+        self.offsets2d = jnp.asarray(pack_offsets_2d(self.offsets_h))
         # slack so aligned cap-row slices starting at any bucket stay in
         # bounds; prefer host-side padding (build_fine_index(pad_rows=...))
         # — device concat copies the whole matrix
@@ -115,13 +116,14 @@ class PallasServer:
             semb = index.sorted_emb
         self.sorted_emb = semb
         on_cpu = jax.default_backend() == "cpu"
-        self._bucket = (bucket_scores_v2_reference if on_cpu
-                        else bucket_scores_v2)
+        self._bucket = (bucket_scores_fused_reference if on_cpu
+                        else bucket_scores_fused)
+        G = None  # static per (B, nb)
 
         from .decode.beam import nci_beam_search_incremental
 
         @jax.jit
-        def _coarse(q_params, nci_params, ids, mask, offsets_dev):
+        def _coarse(q_params, nci_params, ids, mask):
             qemb = qtower.apply({"params": q_params}, ids, mask,
                                 method=T5Model.first_token_rep)
             codes, scores, _ = nci_beam_search_incremental(
@@ -132,17 +134,13 @@ class PallasServer:
             if pad_g:
                 cidx = jnp.concatenate(
                     [cidx, jnp.zeros(pad_g, cidx.dtype)])
-            # CSR bounds gathered HERE (tiny) so the bucket dispatch is
-            # the pure double-buffered kernel
-            starts = offsets_dev[cidx]
-            ends = offsets_dev[cidx + 1]
             q_rep = jnp.repeat(qemb.astype(semb.dtype), num_beams,
                                axis=0)
             if pad_g:
                 q_rep = jnp.concatenate(
                     [q_rep, jnp.zeros((pad_g, q_rep.shape[1]),
                                       q_rep.dtype)], axis=0)
-            return qemb, codes, scores, starts, ends, q_rep
+            return qemb, codes, scores, cidx, q_rep
         self._coarse = _coarse
 
         M = nci.dims.code_len
@@ -170,27 +168,25 @@ class PallasServer:
         self._pool = _pool
         self._M = M
 
-    def query_device(self, query_ids, query_mask, bounds_override=None):
-        """Device half: three dispatches, zero host hops.  Returns ONE
-        packed device array; its host copy starts immediately so
-        back-to-back batches pipeline.
+    def query_device(self, query_ids, query_mask, cidx_override=None):
+        """Device half: three dispatches, zero host hops (the CSR offsets
+        lookup rides a DMA inside the bucket kernel).  Returns ONE packed
+        device array; its host copy starts immediately so back-to-back
+        batches pipeline.
 
-        ``bounds_override``: optional (starts, ends) int32 device arrays
-        of shape (B*nb + pad,) replacing the beam's CSR bounds (bench
-        harness: drives the bucket stage with occupied clusters when the
-        NCI weights are random)."""
+        ``cidx_override``: optional (B*nb + pad,) int32 cluster indices
+        replacing the beam's (bench harness: drives the bucket stage with
+        occupied clusters when the NCI weights are random)."""
         B = query_ids.shape[0]
-        # dispatch 1: qenc + beam + CSR bounds + q_rep prep
-        qemb, codes, beam_scores, starts, ends, q_rep = self._coarse(
-            self.q_params, self.nci_params, query_ids, query_mask,
-            self.offsets_dev)
-        if bounds_override is not None:
-            starts, ends = bounds_override
-        # dispatch 2: double-buffered bucket kernel (own program —
-        # mixing the Mosaic custom call into a larger XLA program
-        # degrades it)
-        scores, rows = self._bucket(self.sorted_emb, starts, ends,
-                                    q_rep, self.cap)
+        # dispatch 1: qenc + beam + cidx/q_rep prep
+        qemb, codes, beam_scores, cidx, q_rep = self._coarse(
+            self.q_params, self.nci_params, query_ids, query_mask)
+        if cidx_override is not None:
+            cidx = cidx_override
+        # dispatch 2: fused bucket kernel (own program — mixing the
+        # Mosaic custom call into a larger XLA program degrades it)
+        scores, rows = self._bucket(self.sorted_emb, self.offsets2d,
+                                    cidx, q_rep, self.cap)
         # dispatch 3: per-query pool top-k + single packed output
         packed = self._pool(scores, rows, codes, beam_scores, B,
                             self.num_beams)
