@@ -470,10 +470,21 @@ def main():
     # always re-OOM (observed with the 8.84M -> 4.4M -> 1M ladder)
     import subprocess
     fallback_from = None
+    child_timeout = int(os.environ.get("BENCH_CHILD_TIMEOUT", 2400))
     for ndoc_try in (NDOC, NDOC // 2, 1_000_000):
         env = dict(os.environ, BENCH_CHILD=str(ndoc_try))
-        r = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                           env=env, stdout=subprocess.PIPE)
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)], env=env,
+                stdout=subprocess.PIPE, timeout=child_timeout)
+        except subprocess.TimeoutExpired:
+            # a wedged chip claim can hang a child at its first dispatch
+            # indefinitely; kill and try the next size
+            log(f"bench child timed out at ndoc={ndoc_try} "
+                f"({child_timeout}s)")
+            if fallback_from is None:
+                fallback_from = ndoc_try
+            continue
         lines = r.stdout.decode().strip().splitlines()
         line = next((x for x in reversed(lines) if x.startswith("{")),
                     None)
