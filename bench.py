@@ -96,8 +96,14 @@ def run(NDOC, extras):
     D = 768 if on_tpu else 64
     KARY, M = 32, 4
     dt = jnp.bfloat16 if on_tpu else jnp.float32
+    # corpus precision: bf16 (default) or int8 (halves the index to
+    # 6.8 GB at 8.84M docs — full MS-MARCO scale fits one v5e with
+    # headroom; quality loss is quantified by the recall checks below)
+    corpus_int8 = os.environ.get("BENCH_DTYPE", "bf16") == "int8"
     extras["ndoc"] = NDOC
     extras["batch"] = BATCH
+    extras["corpus_dtype"] = ("int8" if corpus_int8
+                              else "bf16" if on_tpu else "f32")
 
     # ---- RPC floor ------------------------------------------------------
     tiny = jax.jit(lambda a: a + 1)
@@ -229,7 +235,18 @@ def run(NDOC, extras):
     offsets, doc_ids = build_csr(codes, KARY)
     n_pad = NDOC + CAP + 8
     n_pad += (-n_pad) % 8
-    buf = jnp.zeros((n_pad, D), dt)
+    if corpus_int8:
+        # symmetric global-scale quantization; unit-norm rows keep all
+        # components well inside the sampled max
+        s_max = float(jnp.max(jnp.abs(gen_chunk(
+            tables, jnp.asarray(draws[:min(NDOC, 1 << 16)])))))
+        Q_SCALE = 126.0 / s_max
+        extras["int8_scale"] = round(Q_SCALE, 3)
+        dt_corp = jnp.int8
+    else:
+        Q_SCALE = None
+        dt_corp = dt
+    buf = jnp.zeros((n_pad, D), dt_corp)
 
     # ONE scan program fills the whole matrix: separate per-chunk
     # dispatches each pre-allocate their f32 generator temporaries at
@@ -246,7 +263,10 @@ def run(NDOC, extras):
     def fill_all(buf, tables, dr_all, starts):
         def body(b, xs):
             dr, i = xs
-            row = _gen(tables, dr).astype(b.dtype)
+            row = _gen(tables, dr)
+            if Q_SCALE is not None:
+                row = jnp.clip(jnp.round(row * Q_SCALE), -127, 127)
+            row = row.astype(b.dtype)
             return jax.lax.dynamic_update_slice_in_dim(b, row, i, 0), ()
         return jax.lax.scan(body, buf,
                             (dr_all, starts))[0]
@@ -281,7 +301,8 @@ def run(NDOC, extras):
 
     from mevi_tpu.serve import PallasServer
     server = PallasServer(qtower, nci, q_params, nci_params, fine,
-                          num_beams=NBEAM, cap=CAP, pool=POOL)
+                          num_beams=NBEAM, cap=CAP, pool=POOL,
+                          inv_scale=(1.0 / Q_SCALE if Q_SCALE else 1.0))
 
     # ---- kernel-vs-oracle assert on device ------------------------------
     if on_tpu:
@@ -300,7 +321,7 @@ def run(NDOC, extras):
         assert (k_r == o_r).all(), "bucket kernel row mismatch"
         valid = k_r >= 0
         np.testing.assert_allclose(k_s[valid], o_s[valid], rtol=2e-2,
-                                   atol=1e-2)
+                                   atol=1.0 if corpus_int8 else 1e-2)
         extras["kernel_matches_oracle"] = True
         log("bucket kernel == XLA oracle on device sample: OK")
 
@@ -471,8 +492,17 @@ def main():
     import subprocess
     fallback_from = None
     child_timeout = int(os.environ.get("BENCH_CHILD_TIMEOUT", 2400))
-    for ndoc_try in (NDOC, NDOC // 2, 1_000_000):
-        env = dict(os.environ, BENCH_CHILD=str(ndoc_try))
+    # ladder: full scale in bf16; if HBM is short (pool degradation),
+    # full scale in int8 (6.8 GB index); then smaller bf16 indexes
+    if os.environ.get("BENCH_DTYPE"):
+        attempts = [(NDOC, os.environ["BENCH_DTYPE"]),
+                    (NDOC // 2, os.environ["BENCH_DTYPE"])]
+    else:
+        attempts = [(NDOC, "bf16"), (NDOC, "int8"),
+                    (NDOC // 2, "bf16"), (1_000_000, "bf16")]
+    for ndoc_try, dtype_try in attempts:
+        env = dict(os.environ, BENCH_CHILD=str(ndoc_try),
+                   BENCH_DTYPE=dtype_try)
         try:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)], env=env,

@@ -95,6 +95,8 @@ def _beam_scores(query_emb, beam_codes, offsets, doc_ids, sorted_emb,
     n_global = doc_ids.shape[0]
     global_rows = jnp.clip(rows, 0, n_global - 1)
     emb = sorted_emb[local]                                    # (B,nb,cap,d)
+    if emb.dtype == jnp.int8:      # quantized corpus: upcast the gather
+        emb = emb.astype(query_emb.dtype)
     precision = (jax.lax.Precision.HIGHEST
                  if query_emb.dtype == jnp.float32
                  else jax.lax.Precision.DEFAULT)

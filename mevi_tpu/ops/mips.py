@@ -34,6 +34,8 @@ def _scores(queries: jnp.ndarray, docs: jnp.ndarray,
     silently truncate to bf16); bf16 inputs take the fast single-pass MXU
     path with fp32 accumulation.  Serving stores the corpus in bf16.
     """
+    if docs.dtype == jnp.int8:     # quantized corpus: upcast per chunk
+        docs = docs.astype(queries.dtype)
     precision = (jax.lax.Precision.HIGHEST
                  if queries.dtype == jnp.float32 else
                  jax.lax.Precision.DEFAULT)

@@ -79,7 +79,11 @@ class PallasServer:
 
     def __init__(self, qtower, nci, q_params, nci_params,
                  index: FineIndex, num_beams: int = 10, cap: int = 512,
-                 pool: int = 1000, length_penalty: float = 0.8):
+                 pool: int = 1000, length_penalty: float = 0.8,
+                 inv_scale: float = 1.0):
+        """``inv_scale``: dequantization factor for an int8 corpus
+        (score = q/s_q . v_int8 where v_int8 = round(s_q * v)); folded
+        into the query rows so reported scores stay calibrated."""
         import numpy as np
         from .index.csr import pack_codes
         from .ops.bucket import (ROWS, bucket_scores_fused,
@@ -122,6 +126,8 @@ class PallasServer:
 
         from .decode.beam import nci_beam_search_incremental
 
+        q_dt = jnp.bfloat16 if semb.dtype == jnp.int8 else semb.dtype
+
         @jax.jit
         def _coarse(q_params, nci_params, ids, mask):
             qemb = qtower.apply({"params": q_params}, ids, mask,
@@ -134,8 +140,8 @@ class PallasServer:
             if pad_g:
                 cidx = jnp.concatenate(
                     [cidx, jnp.zeros(pad_g, cidx.dtype)])
-            q_rep = jnp.repeat(qemb.astype(semb.dtype), num_beams,
-                               axis=0)
+            q_rep = jnp.repeat(qemb.astype(q_dt) * q_dt(inv_scale),
+                               num_beams, axis=0)
             if pad_g:
                 q_rep = jnp.concatenate(
                     [q_rep, jnp.zeros((pad_g, q_rep.shape[1]),
