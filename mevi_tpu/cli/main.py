@@ -720,9 +720,17 @@ def cmd_eval(args):
     emb = np.asarray(dio.open_embedding_memmap(args.embeddings,
                                                cfg.rq.emb_size))
     codes = np.load(args.codes)
-    fine = build_fine_index(codes, emb, cfg.rq.kary,
-                            dtype=np.dtype("bfloat16") if args.bf16
-                            else None)
+    if args.corpus_int8:
+        # symmetric global-scale int8 (halves index memory; per-query
+        # ranking is scale-invariant so metrics are unaffected beyond
+        # the ~1/127 quantization noise)
+        from ..index.build import quantize_int8
+        emb, _ = quantize_int8(emb)
+        fine = build_fine_index(codes, emb, cfg.rq.kary)
+    else:
+        fine = build_fine_index(codes, emb, cfg.rq.kary,
+                                dtype=np.dtype("bfloat16") if args.bf16
+                                else None)
 
     # twin query tower
     from ..models.twin_tower import tower_from_config
@@ -958,6 +966,8 @@ def build_parser():
     sp.add_argument("--max_cluster_docs", type=int, default=4096)
     sp.add_argument("--batch_size", type=int, default=16)
     sp.add_argument("--bf16", action="store_true")
+    sp.add_argument("--corpus_int8", action="store_true",
+                    help="int8-quantize the fine index (half memory)")
     sp.add_argument("--eval_all_documents", action="store_true")
     sp.add_argument("--save_path", default=None)
     sp.add_argument("--profile_dir", default=None,

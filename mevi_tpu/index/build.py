@@ -190,3 +190,20 @@ def reconstruct_leaf_centroids(cfg: MEVIConfig, codebooks: np.ndarray,
                          cfg.rq.subvector_num, cfg.rq.kary)
     return np.asarray(rq_ops.reconstruct(
         jnp.asarray(codes), jnp.asarray(codebooks), cfg.rq.pq_type))
+
+
+def quantize_int8(emb: np.ndarray,
+                  ) -> "tuple[np.ndarray, float]":
+    """Symmetric global-scale int8 quantization of an embedding matrix.
+
+    Halves (vs bf16) or quarters (vs f32) the serving index memory —
+    the full 8.84M-doc MARCO corpus fits one v5e chip.  Returns
+    (int8 matrix, scale) with ``v_int8 = round(scale * v)``; per-query
+    ranking is scale-invariant, and calibrated scores fold ``1/scale``
+    into the query rows (``serve.PallasServer(inv_scale=...)``).
+    """
+    s_max = float(np.max(np.abs(emb[:min(len(emb), 1 << 16)])))
+    scale = 126.0 / max(s_max, 1e-12)
+    out = np.clip(np.round(emb.astype(np.float32) * scale),
+                  -127, 127).astype(np.int8)
+    return out, scale

@@ -132,3 +132,38 @@ def test_overflow_fallback_full_scan(rng):
     assert (nd[0] == 2 * n_big) or nd[0] >= n_big
     # query 1 (no overflow) identical across modes
     np.testing.assert_array_equal(i_scan[1], i_tr[1])
+
+
+def test_int8_fine_rerank_matches_float(rng):
+    """quantize_int8 + the int8 gather path ranks ~like float (per-query
+    ranking is scale-invariant; only 1/127 quantization noise remains)."""
+    import jax.numpy as jnp
+    from mevi_tpu.eval.searcher import build_fine_index, fine_rerank
+    from mevi_tpu.index.build import quantize_int8
+
+    ndoc, d, kary = 400, 32, 4
+    emb = rng.normal(size=(ndoc, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    codes = rng.integers(0, kary, size=(ndoc, 2)).astype(np.int32)
+    q = rng.normal(size=(8, d)).astype(np.float32)
+    beams = codes[rng.integers(0, ndoc, size=(8, 3))]
+
+    fine_f = build_fine_index(codes, emb, kary)
+    emb_q, scale = quantize_int8(emb)
+    assert emb_q.dtype == np.int8 and scale > 1.0
+    fine_q = build_fine_index(codes, emb_q, kary)
+
+    _, ids_f, _ = fine_rerank(jnp.asarray(q), jnp.asarray(beams),
+                              fine_f.offsets, fine_f.doc_ids,
+                              fine_f.sorted_emb, kary, 64, 10)
+    _, ids_q, _ = fine_rerank(jnp.asarray(q), jnp.asarray(beams),
+                              fine_q.offsets, fine_q.doc_ids,
+                              fine_q.sorted_emb, kary, 64, 10)
+    ids_f, ids_q = np.asarray(ids_f), np.asarray(ids_q)
+    overlap = np.mean([len(set(ids_f[i][ids_f[i] >= 0])
+                           & set(ids_q[i][ids_q[i] >= 0]))
+                       / max((ids_f[i] >= 0).sum(), 1)
+                       for i in range(8)])
+    assert overlap >= 0.9, overlap
+    # top-1 doc agrees
+    assert (ids_f[:, 0] == ids_q[:, 0]).mean() >= 0.75
