@@ -140,8 +140,9 @@ class PallasServer:
             if pad_g:
                 cidx = jnp.concatenate(
                     [cidx, jnp.zeros(pad_g, cidx.dtype)])
-            q_rep = jnp.repeat(qemb.astype(q_dt) * q_dt(inv_scale),
-                               num_beams, axis=0)
+            q_rep = jnp.repeat(
+                qemb.astype(q_dt) * jnp.asarray(inv_scale, q_dt),
+                num_beams, axis=0)
             if pad_g:
                 q_rep = jnp.concatenate(
                     [q_rep, jnp.zeros((pad_g, q_rep.shape[1]),

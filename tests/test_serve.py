@@ -88,3 +88,23 @@ def test_pallas_server_matches_fused(setup):
     assert (np.asarray(i1) == i2)[valid].all()
     assert (i2[~valid] == -1).all()
     assert (ndoc >= 0).all()
+
+
+def test_pallas_server_int8_corpus(setup, rng):
+    """int8 index + folded dequant: same top docs, calibrated scores."""
+    from mevi_tpu.index.build import quantize_int8
+    nci, qtower, nci_params, q_params, ids, mask, fine = setup
+    server_f = serve.PallasServer(qtower, nci, q_params, nci_params,
+                                  fine, num_beams=3, cap=32, pool=20)
+    sf, idf, _, _, _ = server_f.query(ids, mask)
+
+    emb_q, scale = quantize_int8(np.asarray(fine.sorted_emb))
+    fine_q = fine._replace(sorted_emb=jnp.asarray(emb_q))
+    server_q = serve.PallasServer(qtower, nci, q_params, nci_params,
+                                  fine_q, num_beams=3, cap=32, pool=20,
+                                  inv_scale=1.0 / scale)
+    sq, idq, _, _, _ = server_q.query(ids, mask)
+    valid = idf >= 0
+    # top docs agree and dequantized scores are calibrated
+    assert (idf[:, 0] == idq[:, 0]).mean() >= 0.75
+    np.testing.assert_allclose(sq[valid], sf[valid], rtol=0.1, atol=0.05)
