@@ -56,8 +56,10 @@ def serve_batch(
     codes, beam_scores, _ = nci_beam_search_incremental(
         nci, nci_params, query_ids, query_mask, num_beams,
         length_penalty=length_penalty)
+    q_dt = (jnp.bfloat16 if sorted_emb.dtype == jnp.int8
+            else sorted_emb.dtype)   # int8 corpus: queries stay float
     scores, ids, sizes = _beam_scores(
-        qemb.astype(sorted_emb.dtype), codes, offsets, doc_ids,
+        qemb.astype(q_dt), codes, offsets, doc_ids,
         sorted_emb, kary, cap)
     k = min(pool, scores.shape[-1])
     top_scores, pos = jax.lax.top_k(scores, k)
@@ -250,8 +252,10 @@ def make_sharded_server(qtower, nci, mesh: Mesh, num_beams: int = 10,
             nci, nci_params, query_ids, query_mask, num_beams,
             length_penalty=length_penalty)
         shard = jax.lax.axis_index(CORPUS_AXIS)
+        q_dt = (jnp.bfloat16 if emb_shard.dtype == jnp.int8
+                else emb_shard.dtype)
         scores, ids, _ = _beam_scores(
-            qemb.astype(emb_shard.dtype), codes, offsets, doc_ids,
+            qemb.astype(q_dt), codes, offsets, doc_ids,
             emb_shard, kary, cap, row_offset=shard * rows_per)
         k = min(pool, scores.shape[-1])
         loc_scores, pos = jax.lax.top_k(scores, k)
