@@ -216,8 +216,11 @@ def nci_beam_search_incremental(
                 pawa_cache), None
 
     carry = (cur_tok, code_hist, beam_scores, dec_cache, pawa_cache)
+    # M-1 is tiny (3 at the serving config): unrolling removes the scan
+    # loop machinery and lets XLA schedule across steps
     carry, _ = jax.lax.scan(step, carry,
-                            (jnp.arange(1, M), W_lvl[1:M], A_lvl[1:M]))
+                            (jnp.arange(1, M), W_lvl[1:M], A_lvl[1:M]),
+                            unroll=True)
     cur_tok, code_hist, beam_scores, dec_cache, pawa_cache = carry
 
     # final step: EOS log-prob at position M
