@@ -422,16 +422,19 @@ def run(NDOC, extras):
         BATCH * max(NBATCH // 2, 1) / dt_seq, 1)
 
     # single small-batch latency (the reference profiles per-query
-    # latency, faiss_search.py:32-68 / generate.py:247-280)
-    B_LAT = 8
-    ids8 = jnp.asarray(np.full((B_LAT, QLEN), 3, np.int32))
-    mask8 = jnp.ones((B_LAT, QLEN), jnp.int32)
-    server.query(ids8, mask8)                      # compile
-    t0 = time.perf_counter()
-    for _ in range(5):
-        server.query(ids8, mask8)
-    extras["latency_b8_ms"] = round(
-        (time.perf_counter() - t0) / 5 * 1e3, 1)
+    # latency, faiss_search.py:32-68 / generate.py:247-280); best-effort
+    try:
+        B_LAT = 8
+        ids8 = jnp.asarray(np.full((B_LAT, QLEN), 3, np.int32))
+        mask8 = jnp.ones((B_LAT, QLEN), jnp.int32)
+        server.query(ids8, mask8)                  # compile
+        t0 = time.perf_counter()
+        for _ in range(5):
+            server.query(ids8, mask8)
+        extras["latency_b8_ms"] = round(
+            (time.perf_counter() - t0) / 5 * 1e3, 1)
+    except Exception as e:                         # pragma: no cover
+        log(f"latency probe skipped: {e!r}")
 
     # ---- stage split (dispatch+fetch each, rpc floor noted) --------------
     def timed(fn, n=5):
