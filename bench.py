@@ -76,7 +76,6 @@ def run(NDOC, extras):
         jax.config.update("jax_platforms", "cpu")
 
     from mevi_tpu.decode.beam import nci_beam_search_incremental
-    from mevi_tpu.eval.searcher import build_fine_index
     from mevi_tpu.models.nci import NCIDims, NCIT5
     from mevi_tpu.models.t5 import T5Dims, T5Model
     from mevi_tpu.ops import rq as rq_ops

@@ -112,7 +112,6 @@ def cmd_gen_embeddings(args):
     from ..data import io as dio
     from ..index.build import embed_corpus
     from ..models import convert
-    from ..models.twin_tower import make_tower
     cfg = load_config(args.config)
     from ..models.twin_tower import tower_from_config
     tower = tower_from_config(cfg.encoder)
@@ -687,7 +686,6 @@ def cmd_eval(args):
     from ..models import convert
     from ..models.nci import NCIDims, NCIT5
     from ..models.t5 import T5Dims
-    from ..models.twin_tower import make_tower
     from ..train.checkpoints import CheckpointManager
 
     cfg = load_config(args.config)

@@ -23,7 +23,6 @@ by either stack interoperate:
 from __future__ import annotations
 
 import ast
-import os
 from typing import Dict, Iterable, List, Sequence, Tuple
 
 import numpy as np

@@ -17,13 +17,11 @@ from __future__ import annotations
 import dataclasses
 from typing import Callable, List, Optional, Sequence, Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..config import InferConfig
 from ..data import io
-from ..decode.beam import nci_beam_search
 from ..models.nci import NCIT5
 from .metrics import metrics_from_rank_matrix, ranks_of_gts
 from .searcher import FineIndex, coarse_ranks

@@ -13,7 +13,7 @@ equivalent of the reference's rank-sharded memmap + barrier-merge protocol
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

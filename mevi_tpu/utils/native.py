@@ -8,7 +8,6 @@ in-repo Makefile.
 from __future__ import annotations
 
 import ctypes
-import os
 import os.path as osp
 import subprocess
 from typing import Optional, Sequence, Tuple

@@ -2,7 +2,6 @@
 vs double-buffered v2) at serving geometry."""
 
 import os
-import sys
 import time
 
 import numpy as np

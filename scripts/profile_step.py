@@ -8,7 +8,6 @@ Variants (each a 5-iteration scan, R = B * nb rows):
 """
 
 import os
-import sys
 import time
 
 import numpy as np

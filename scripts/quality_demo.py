@@ -46,7 +46,7 @@ def main():
 
     from mevi_tpu.decode.beam import nci_beam_search_incremental
     from mevi_tpu.eval.searcher import build_fine_index, fine_rerank
-    from mevi_tpu.models.nci import NCIDims, NCIT5, make_labels
+    from mevi_tpu.models.nci import NCIDims, NCIT5
     from mevi_tpu.models.t5 import T5Dims
     from mevi_tpu.ops import rq as rq_ops
     from mevi_tpu.train import trainer as T
