@@ -475,9 +475,10 @@ def cmd_train(args):
                                restored["opt_state"], restored["step"])
             start_epoch = int(restored["epoch"]) + 1
             print(f"resumed from epoch {start_epoch}")
+    from ..data.datasets import host_prefetch
     gstep = int(state.step)
     for epoch in range(start_epoch, cfg.train.num_train_epochs):
-        for batch in ds.batches(bs, rng):
+        for batch in host_prefetch(ds.batches(bs, rng)):
             key, sub = jax.random.split(key)
             state, metrics = step(
                 state, {k: jnp.asarray(v) for k, v in batch.items()},
@@ -627,8 +628,11 @@ def cmd_train_joint(args):
 
     rng = np.random.default_rng(tcfg.seed)
 
+    from ..data.datasets import host_prefetch
+
     def dataset_fn(epoch):
-        for batch in ds.batches(bs, rng):
+        # batch assembly (negative sampling) overlaps the device step
+        for batch in host_prefetch(ds.batches(bs, rng)):
             yield {k: jnp.asarray(v) for k, v in batch.items()}
 
     # optional validation inputs (dev tsv + corpus tokens drive the RQ

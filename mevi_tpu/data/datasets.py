@@ -248,3 +248,36 @@ def device_prefetch(iterator, size: int = 2):
             yield queue.popleft()
     while queue:
         yield queue.popleft()
+
+
+def host_prefetch(iterator, size: int = 4):
+    """Assemble host batches in a background thread.
+
+    The reference keeps its GPUs fed with ``DataLoader(num_workers=4)``
+    (``main_models.py:3493-3515``) because hard-negative sampling runs
+    in ``__getitem__``; this is the TPU-side equivalent — batch assembly
+    (memmap reads, in-cluster negative draws) overlaps the device step.
+    Worker exceptions re-raise at the consumer."""
+    import queue
+    import threading
+    buf = queue.Queue(maxsize=size)
+    SENTINEL = object()
+    err = []
+
+    def worker():
+        try:
+            for item in iterator:
+                buf.put(item)
+        except BaseException as e:          # noqa: BLE001 - forwarded
+            err.append(e)
+        finally:
+            buf.put(SENTINEL)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = buf.get()
+        if item is SENTINEL:
+            if err:
+                raise err[0]
+            return
+        yield item

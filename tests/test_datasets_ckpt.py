@@ -106,3 +106,20 @@ def test_alternating_batches():
     out = list(alternating_batches(a, b, (2, 1)))
     kinds = [k for k, _ in out]
     assert kinds == ["a", "a", "b", "a", "a", "b"]
+
+
+def test_host_prefetch_order_and_errors():
+    from mevi_tpu.data.datasets import host_prefetch
+
+    assert list(host_prefetch(iter(range(10)), size=3)) == list(range(10))
+
+    def boom():
+        yield 1
+        raise ValueError("worker died")
+
+    out = []
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="worker died"):
+        for x in host_prefetch(boom(), size=2):
+            out.append(x)
+    assert out == [1]
