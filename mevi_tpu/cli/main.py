@@ -128,6 +128,24 @@ def cmd_gen_embeddings(args):
 
     tokens, masks = dio.open_token_memmaps(args.documents,
                                            args.doc_length)
+    if args.profile:
+        # encoder latency across batch sizes (profile_generate_query,
+        # MEVI/generate.py:247-280)
+        import time
+        for bs in (1, 2, 4, 8, 16, 32, 64, 128, 256):
+            i = jnp.asarray(np.asarray(tokens[:1]).repeat(bs, 0),
+                            jnp.int32)
+            m = jnp.asarray(np.asarray(masks[:1]).repeat(bs, 0),
+                            jnp.int32)
+            jax.block_until_ready(rep_fn(i, m))
+            t0 = time.time()
+            for _ in range(5):
+                out = rep_fn(i, m)
+            jax.block_until_ready(out)
+            dt = (time.time() - t0) / 5
+            print(f"bs={bs}: {dt * 1e3:.2f} ms/batch "
+                  f"{bs / dt:.1f} emb/s", file=sys.stderr)
+        return
     emb = embed_corpus(rep_fn, np.asarray(tokens), np.asarray(masks),
                        batch_size=cfg.train.encode_batch_size,
                        progress=lambda d, n: print(
@@ -825,6 +843,8 @@ def build_parser():
     sp.add_argument("--documents", required=True)
     sp.add_argument("--doc_length", type=int, default=128)
     sp.add_argument("--output", required=True)
+    sp.add_argument("--profile", action="store_true",
+                    help="encoder latency across batch sizes")
     sp.set_defaults(fn=cmd_gen_embeddings)
 
     sp = sub.add_parser("build-index")
