@@ -423,28 +423,41 @@ def cmd_doc2query(args):
             fw.write(f"{q}\t{d}\n")
 
 
+
+def _nci_dims(cfg, dropout=None):
+    """ModelConfig -> NCIDims honoring the reference's architecture
+    flags (adaptor_decode -> PAWA on/off, feed_forward_proj,
+    tie_decode_embedding; ``MEVI/main.py:755-779``)."""
+    from ..models.nci import NCIDims
+    from ..models.t5 import T5Dims
+    m = cfg.model
+    return NCIDims(
+        t5=T5Dims(vocab_size=m.vocab_size, d_model=m.d_model,
+                  d_kv=m.d_kv, d_ff=m.d_ff, num_heads=m.num_heads,
+                  num_layers=m.num_layers,
+                  num_decoder_layers=m.num_decoder_layers,
+                  dropout_rate=(m.dropout_rate if dropout is None
+                                else dropout),
+                  gated_act=(m.feed_forward_proj == "gated-gelu")),
+        kary=m.kary, max_output_length=m.max_output_length,
+        adaptor_layer_num=m.adaptor_layer_num,
+        adaptor_num_heads=m.adaptor_num_heads,
+        use_pawa=m.adaptor_decode,
+        tie_decode_embedding=m.tie_decode_embedding)
+
 def cmd_train(args):
     import jax
     import jax.numpy as jnp
     from ..data import io as dio
     from ..data.datasets import NCIDataset
-    from ..models.nci import NCIDims, NCIT5
-    from ..models.t5 import T5Dims
+    from ..models.nci import NCIT5
     from ..train import trainer as T
     from ..train.checkpoints import CheckpointManager
     from ..utils.logging import MetricsLogger, run_name
 
     cfg = load_config(args.config)
     m = cfg.model
-    dims = NCIDims(
-        t5=T5Dims(vocab_size=m.vocab_size, d_model=m.d_model,
-                  d_kv=m.d_kv, d_ff=m.d_ff, num_heads=m.num_heads,
-                  num_layers=m.num_layers,
-                  num_decoder_layers=m.num_decoder_layers,
-                  dropout_rate=m.dropout_rate),
-        kary=m.kary, max_output_length=m.max_output_length,
-        adaptor_layer_num=m.adaptor_layer_num,
-        adaptor_num_heads=m.adaptor_num_heads)
+    dims = _nci_dims(cfg)
     model = NCIT5(dims)
 
     qids, qmask = dio.open_token_memmaps(args.queries, args.query_length)
@@ -528,8 +541,7 @@ def cmd_train_joint(args):
     import jax.numpy as jnp
     from ..data import io as dio
     from ..data.datasets import ClusterNegativeSampler, JointDataset
-    from ..models.nci import NCIDims, NCIT5
-    from ..models.t5 import T5Dims
+    from ..models.nci import NCIT5
     from ..models.twin_tower import tower_from_config
     from ..ops import rq as rq_ops
     from ..train import joint as J
@@ -538,15 +550,7 @@ def cmd_train_joint(args):
 
     cfg = load_config(args.config)
     m, tcfg = cfg.model, cfg.train
-    dims = NCIDims(
-        t5=T5Dims(vocab_size=m.vocab_size, d_model=m.d_model,
-                  d_kv=m.d_kv, d_ff=m.d_ff, num_heads=m.num_heads,
-                  num_layers=m.num_layers,
-                  num_decoder_layers=m.num_decoder_layers,
-                  dropout_rate=m.dropout_rate),
-        kary=m.kary, max_output_length=m.max_output_length,
-        adaptor_layer_num=m.adaptor_layer_num,
-        adaptor_num_heads=m.adaptor_num_heads)
+    dims = _nci_dims(cfg)
     nci = NCIT5(dims)
     tower = tower_from_config(cfg.encoder)
 
@@ -706,21 +710,12 @@ def cmd_eval(args):
     from ..eval.run_eval import Evaluator, write_result_files
     from ..eval.searcher import build_fine_index
     from ..models import convert
-    from ..models.nci import NCIDims, NCIT5
-    from ..models.t5 import T5Dims
+    from ..models.nci import NCIT5
     from ..train.checkpoints import CheckpointManager
 
     cfg = load_config(args.config)
     m = cfg.model
-    dims = NCIDims(
-        t5=T5Dims(vocab_size=m.vocab_size, d_model=m.d_model,
-                  d_kv=m.d_kv, d_ff=m.d_ff, num_heads=m.num_heads,
-                  num_layers=m.num_layers,
-                  num_decoder_layers=m.num_decoder_layers,
-                  dropout_rate=0.0),
-        kary=m.kary, max_output_length=m.max_output_length,
-        adaptor_layer_num=m.adaptor_layer_num,
-        adaptor_num_heads=m.adaptor_num_heads)
+    dims = _nci_dims(cfg, dropout=0.0)
     model = NCIT5(dims)
 
     # NCI params: orbax dir (ours) or torch lightning ckpt (reference)

@@ -121,6 +121,16 @@ class ModelConfig:
     def validate(self) -> "ModelConfig":
         assert self.max_output_length >= 3
         assert self.d_model % self.num_heads == 0 or self.d_kv is not None
+        # fixed design choices (validated so configs fail loudly instead
+        # of silently ignoring them): the NCI always decodes over the
+        # separate code vocabulary, and the PAWA composition is always
+        # the column-sliced ('efficient') formulation
+        assert self.decode_embedding, \
+            "decode_embedding=False (full-vocab NCI) is not supported"
+        assert self.adaptor_efficient, \
+            "only the efficient PAWA composition exists (compact logits)"
+        assert self.feed_forward_proj in ("relu", "gated-gelu"), \
+            self.feed_forward_proj
         return self
 
 
