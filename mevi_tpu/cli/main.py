@@ -116,6 +116,9 @@ def cmd_gen_embeddings(args):
     from ..models.twin_tower import tower_from_config
     tower = tower_from_config(cfg.encoder)
     sd = convert.load_torch_state_dict(args.checkpoint)
+    if any(k.startswith("ctx_model.") for k in sd):
+        # AR2/DPR untied towers: the corpus embeds with the CTX side
+        sd = convert.split_ar2_checkpoint(sd)["passage"]
     if cfg.encoder.family == "t5":
         params = convert.convert_t5_model(sd, cfg.encoder.num_layers,
                                           cfg.encoder.num_layers)
@@ -585,6 +588,10 @@ def cmd_train_joint(args):
     if args.tower_ckpt:
         from ..models import convert
         tsd = convert.load_torch_state_dict(args.tower_ckpt)
+        if any(k.startswith("ctx_model.") for k in tsd):
+            # AR2 untied: train the document (ctx) side; see
+            # split_ar2_checkpoint for the query tower
+            tsd = convert.split_ar2_checkpoint(tsd)["passage"]
         if cfg.encoder.family == "t5":
             tower_params = convert.convert_t5_model(
                 tsd, cfg.encoder.num_layers, cfg.encoder.num_layers)
@@ -751,6 +758,9 @@ def cmd_eval(args):
     from ..models.twin_tower import tower_from_config
     tower = tower_from_config(cfg.encoder)
     tsd = convert.load_torch_state_dict(args.tower_ckpt)
+    if any(k.startswith("question_model.") for k in tsd):
+        # AR2/DPR untied towers: queries embed with the QUESTION side
+        tsd = convert.split_ar2_checkpoint(tsd)["query"]
     if cfg.encoder.family == "t5":
         tparams = convert.convert_t5_model(tsd, cfg.encoder.num_layers,
                                            cfg.encoder.num_layers)
