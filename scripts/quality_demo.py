@@ -19,6 +19,11 @@ Pipeline (all on the default jax backend — TPU or CPU):
 
 Prints one JSON line:
   {"coarse_hit@10": ..., "fine_recall@10": ..., "steps": N, ...}
+
+Measured on one v5e (200k docs, d=512 6+3-layer NCI, batch 256):
+  DEMO_STEPS=4000  (~2.5 min train): hit@10 0.33
+  DEMO_STEPS=20000 (~9 min):         hit@10 0.42
+  DEMO_STEPS=60000 (~43 min):        hit@10 0.96, hit@1 0.48
 """
 
 import json
