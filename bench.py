@@ -451,10 +451,12 @@ def run(NDOC, extras):
 
     def beam_fn(i):
         return nci_beam_search_incremental(
-            nci, nci_params, batches[i % NBATCH][0], mask, NBEAM)[0]
+            nci, nci_params, batches[i % NBATCH][0], mask, NBEAM,
+            level_tables=server.level_tables)[0]
 
     _, _, _, _, q_rep0 = server._coarse(
-        server.q_params, server.nci_params, batches[0][0], mask)
+        server.q_params, server.nci_params, batches[0][0], mask,
+        server.level_tables)
 
     def bucket_fn(i):
         return server._bucket(server.sorted_emb, server.offsets2d,

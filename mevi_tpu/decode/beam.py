@@ -137,10 +137,15 @@ def nci_beam_search_incremental(
     attention_mask: jnp.ndarray,
     num_beams: int,
     length_penalty: float = 0.8,
+    level_tables=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """KV-cached beam decode: each step runs ONE token through the
     decoder and PAWA (the panel variant recomputes all L positions —
     ~L x more decode FLOPs).  Caches are beam-reordered by row gather.
+
+    ``level_tables``: optional precomputed ``head_level_tables()``
+    output — a serving loop should build it ONCE per params (the
+    in-call build relayouts the 229 MB adaptor kernel every batch).
 
     Returns (codes (b, nbeam, M), normalized scores (b, nbeam),
     enc_hidden) — identical ordering/scores to :func:`nci_beam_search`.
@@ -160,12 +165,20 @@ def nci_beam_search_incremental(
     # decode_step (replicating them x nb costs 1.5 GB of HBM traffic
     # per step at the serving config)
     cross_kvs = apply(NCIT5.project_cross_kvs, memory)
-    W_lvl, A_lvl = apply(NCIT5.head_level_tables)
+    if level_tables is None:
+        W_lvl, A_lvl = apply(NCIT5.head_level_tables)
+    else:
+        W_lvl, A_lvl = level_tables
     if A_lvl is None:                       # use_pawa=False: unused dummy
         A_lvl = jnp.zeros((L, 1, 1), W_lvl.dtype)
 
     def gather_cache(cache, rows):
+        """Beam-reorder the PAWA (batch-major) cache rows."""
         return jax.tree.map(lambda x: x[rows], cache)
+
+    def gather_dec(cache, rows):
+        """Beam-reorder the decoder (time-major, (L, b, h, dk)) cache."""
+        return jax.tree.map(lambda x: x[:, rows], cache)
 
     # step 0 at B rows: every beam of a query shares the start-token
     # prefix, so running the panel at B*nb rows would compute each
@@ -185,7 +198,7 @@ def nci_beam_search_incremental(
     beam_scores, pos0 = jax.lax.top_k(flat0, nb)            # (B, nb)
     code0 = (pos0 % K).astype(jnp.int32)
     rows0 = jnp.repeat(jnp.arange(B), nb)                   # expand x nb
-    dec_cache = gather_cache(dec_cache, rows0)
+    dec_cache = gather_dec(dec_cache, rows0)
     pawa_cache = (None if pawa_cache is None
                   else gather_cache(pawa_cache, rows0))
     code_hist = jnp.zeros((B * nb, M), jnp.int32
@@ -208,7 +221,7 @@ def nci_beam_search_incremental(
         rows = (jnp.arange(B)[:, None] * nb + beam_idx).reshape(-1)
         code_hist = code_hist[rows]
         code_hist = code_hist.at[:, t].set(code.reshape(-1))
-        dec_cache = gather_cache(dec_cache, rows)
+        dec_cache = gather_dec(dec_cache, rows)
         pawa_cache = (None if pawa_cache is None
                       else gather_cache(pawa_cache, rows))
         cur_tok = (code.reshape(-1, 1) + t * K + 2)

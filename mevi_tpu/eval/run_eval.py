@@ -74,6 +74,11 @@ class Evaluator:
         self.fine_index = fine_index
         self.query_rep_fn = query_rep_fn
         self.doc_codes = doc_codes
+        # per-level head tables built once per params (in-call builds
+        # relayout the big adaptor kernel every batch)
+        import jax
+        self._tables = jax.jit(lambda p: model.apply(
+            {"params": p}, method=model.head_level_tables))(params)
         self._rerank = None
         if fine_index is not None:
             from .searcher import FineReranker
@@ -88,7 +93,8 @@ class Evaluator:
         from ..decode.beam import nci_beam_search_incremental
         codes, scores, _ = nci_beam_search_incremental(
             self.model, self.params, jnp.asarray(query_ids),
-            jnp.asarray(query_mask), cfg.beams(), cfg.length_penalty)
+            jnp.asarray(query_mask), cfg.beams(), cfg.length_penalty,
+            level_tables=self._tables)
         codes = np.asarray(codes)[:, :cfg.num_return_sequences]
         scores = np.asarray(scores)[:, :cfg.num_return_sequences]
         out = EvalBatchResult(queries, codes, scores)

@@ -287,10 +287,16 @@ class T5Stack(nn.Module):
     # -- incremental decoding (self-attn KV cache) ------------------------
 
     def init_cache(self, batch: int, max_len: int, dtype=None):
-        """Per-layer (k, v) caches of shape (b, h, max_len, d_kv)."""
+        """Per-layer (k, v) caches of shape (max_len, b, h, d_kv).
+
+        Time-major layout: the per-step write is a leading-dim slab
+        (``dynamic_update_slice_in_dim(..., axis=0)``) and the attend
+        einsum consumes the cache as-is — the batch-major layout made
+        XLA relayout every cache tensor every decode step (profiled at
+        ~4.6 ms/call at serving batch)."""
         d = self.dims
         dtype = dtype or d.dtype
-        shape = (batch, d.num_heads, max_len, d.d_kv)
+        shape = (max_len, batch, d.num_heads, d.d_kv)
         return [(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
                 for _ in range(self.num_layers)]
 
@@ -314,7 +320,7 @@ class T5Stack(nn.Module):
         """
         assert self.is_decoder
         d = self.dims
-        max_len = cache[0][0].shape[2]
+        max_len = cache[0][0].shape[0]
         pos = jnp.arange(max_len)
         causal = jnp.where(pos[None, None, None, :] <= t, 0.0,
                            -1e9).astype(jnp.float32)
@@ -325,9 +331,11 @@ class T5Stack(nn.Module):
             attn = block.self_attn
             x = block.self_norm(hidden)
             q, k_t, v_t = attn.project_qkv(x)          # (b, h, 1, dk)
-            ck, cv = cache[i]
-            ck = jax.lax.dynamic_update_slice_in_dim(ck, k_t, t, axis=2)
-            cv = jax.lax.dynamic_update_slice_in_dim(cv, v_t, t, axis=2)
+            ck, cv = cache[i]                          # (L, b, h, dk)
+            ck = jax.lax.dynamic_update_slice_in_dim(
+                ck, k_t.transpose(2, 0, 1, 3), t, axis=0)
+            cv = jax.lax.dynamic_update_slice_in_dim(
+                cv, v_t.transpose(2, 0, 1, 3), t, axis=0)
             new_cache.append((ck, cv))
             if i == 0:
                 # decoder rel-pos bias row for query position t
@@ -337,7 +345,15 @@ class T5Stack(nn.Module):
                     d.relative_attention_max_distance)
                 bias = attn.relative_attention_bias(buckets[0])  # (L, h)
                 position_bias = jnp.transpose(bias)[None, :, None, :]
-            y = attn.attend(q, ck, cv, position_bias, causal)
+            # time-major attend: scores (b, h, 1, L)
+            scores = jnp.einsum("bhqd,lbhd->bhql", q,
+                                ck).astype(jnp.float32)
+            scores = scores + position_bias + causal
+            probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+            y = jnp.einsum("bhql,lbhd->bhqd", probs, cv)
+            b = y.shape[0]
+            y = y.transpose(0, 2, 1, 3).reshape(
+                b, 1, d.num_heads * d.d_kv)
             hidden = hidden + attn.o(y)
             cattn = block.cross_attn
             cx = block.cross_norm(hidden)

@@ -129,13 +129,19 @@ class PallasServer:
         from .decode.beam import nci_beam_search_incremental
 
         q_dt = jnp.bfloat16 if semb.dtype == jnp.int8 else semb.dtype
+        # per-level head tables built ONCE per params: the in-call
+        # build relayouts the 229 MB adaptor kernel every batch
+        self.level_tables = jax.jit(
+            lambda p: nci.apply({"params": p},
+                                method=nci.head_level_tables))(nci_params)
 
         @jax.jit
-        def _coarse(q_params, nci_params, ids, mask):
+        def _coarse(q_params, nci_params, ids, mask, level_tables):
             qemb = qtower.apply({"params": q_params}, ids, mask,
                                 method=T5Model.first_token_rep)
             codes, scores, _ = nci_beam_search_incremental(
-                nci, nci_params, ids, mask, num_beams, length_penalty)
+                nci, nci_params, ids, mask, num_beams, length_penalty,
+                level_tables=level_tables)
             flat = codes.reshape(-1, codes.shape[-1])
             cidx = pack_codes(flat, kary)
             pad_g = (-cidx.shape[0]) % ROWS
@@ -189,7 +195,8 @@ class PallasServer:
         B = query_ids.shape[0]
         # dispatch 1: qenc + beam + cidx/q_rep prep
         qemb, codes, beam_scores, cidx, q_rep = self._coarse(
-            self.q_params, self.nci_params, query_ids, query_mask)
+            self.q_params, self.nci_params, query_ids, query_mask,
+            self.level_tables)
         if cidx_override is not None:
             cidx = cidx_override
         # dispatch 2: fused bucket kernel (own program — mixing the
