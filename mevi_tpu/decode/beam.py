@@ -172,12 +172,8 @@ def nci_beam_search_incremental(
     if A_lvl is None:                       # use_pawa=False: unused dummy
         A_lvl = jnp.zeros((L, 1, 1), W_lvl.dtype)
 
-    def gather_cache(cache, rows):
-        """Beam-reorder the PAWA (batch-major) cache rows."""
-        return jax.tree.map(lambda x: x[rows], cache)
-
     def gather_dec(cache, rows):
-        """Beam-reorder the decoder (time-major, (L, b, h, dk)) cache."""
+        """Beam-reorder a time-major ((L, b, h, dk)) KV cache."""
         return jax.tree.map(lambda x: x[:, rows], cache)
 
     # step 0 at B rows: every beam of a query shares the start-token
@@ -200,7 +196,7 @@ def nci_beam_search_incremental(
     rows0 = jnp.repeat(jnp.arange(B), nb)                   # expand x nb
     dec_cache = gather_dec(dec_cache, rows0)
     pawa_cache = (None if pawa_cache is None
-                  else gather_cache(pawa_cache, rows0))
+                  else gather_dec(pawa_cache, rows0))
     code_hist = jnp.zeros((B * nb, M), jnp.int32
                           ).at[:, 0].set(code0.reshape(-1))
     cur_tok = code0.reshape(-1, 1).astype(jnp.int32) + 2
@@ -223,7 +219,7 @@ def nci_beam_search_incremental(
         code_hist = code_hist.at[:, t].set(code.reshape(-1))
         dec_cache = gather_dec(dec_cache, rows)
         pawa_cache = (None if pawa_cache is None
-                      else gather_cache(pawa_cache, rows))
+                      else gather_dec(pawa_cache, rows))
         cur_tok = (code.reshape(-1, 1) + t * K + 2)
         return (cur_tok, code_hist, beam_scores, dec_cache,
                 pawa_cache), None

@@ -142,16 +142,29 @@ class TorchDecoderLayer(nn.Module):
 
     def decode_step(self, x_t, t, cache_kv, mem_const):
         """Incremental step: x_t (b, 1, d); cache_kv (k, v) of shape
-        (b, h, max_len, dk); mem_const the precomputed cross-attn output
-        (see :meth:`PawaAdaptor.precompute_mem_kvs`)."""
-        max_len = cache_kv[0].shape[2]
+        (max_len, b, h, dk) — time-major so the per-step write is a
+        leading-dim slab (batch-major caches made XLA relayout them
+        every decode step); mem_const is the precomputed cross-attn
+        output (see :meth:`PawaAdaptor.precompute_mem_kvs`)."""
+        d = self.dims
+        max_len = cache_kv[0].shape[0]
         pos = jnp.arange(max_len)
         causal = jnp.where(pos[None, None, None, :] <= t, 0.0,
                            -1e9).astype(jnp.float32)
-        q, k_t, v_t = self.self_attn.project_qkv(x_t)
-        ck = jax.lax.dynamic_update_slice_in_dim(cache_kv[0], k_t, t, 2)
-        cv = jax.lax.dynamic_update_slice_in_dim(cache_kv[1], v_t, t, 2)
-        sa = self.self_attn.attend(q, ck, cv, causal)
+        q, k_t, v_t = self.self_attn.project_qkv(x_t)   # (b, h, 1, dk)
+        ck = jax.lax.dynamic_update_slice_in_dim(
+            cache_kv[0], k_t.transpose(2, 0, 1, 3), t, 0)
+        cv = jax.lax.dynamic_update_slice_in_dim(
+            cache_kv[1], v_t.transpose(2, 0, 1, 3), t, 0)
+        dk = d.d_model // d.num_heads
+        scores = jnp.einsum("bhqd,lbhd->bhql", q, ck) / jnp.sqrt(
+            jnp.float32(dk)).astype(q.dtype)
+        probs = jax.nn.softmax(scores.astype(jnp.float32) + causal,
+                               axis=-1).astype(q.dtype)
+        ctx = jnp.einsum("bhql,lbhd->bhqd", probs, cv)
+        b = ctx.shape[0]
+        sa = self.self_attn.out_proj(
+            ctx.transpose(0, 2, 1, 3).reshape(b, 1, d.d_model))
         x = self.norm1(x_t + sa)
         x = self.norm2(x + mem_const)
         return self._ff(x, True), (ck, cv)
@@ -203,9 +216,10 @@ class PawaAdaptor(nn.Module):
         return out
 
     def init_cache(self, batch: int, max_len: int, dtype=None):
+        """Time-major (max_len, b, h, dk) — see decode_step."""
         d = self.dims
         dk = d.d_model // d.num_heads
-        shape = (batch, d.num_heads, max_len, dk)
+        shape = (max_len, batch, d.num_heads, dk)
         dtype = dtype or d.dtype
         return [(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
                 for _ in self.layers]
