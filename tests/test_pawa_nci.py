@@ -122,3 +122,68 @@ def test_make_labels_layout():
     assert dec_in.tolist() == [[0, 3, 8, 1]]
     comp = compact_labels(codes, NCIDims(kary=4, max_output_length=4))
     assert comp.tolist() == [[1, 2, 4, -100]]
+
+
+def test_convert_nci_checkpoint_assembles_reference_dict(rng):
+    """The full reference NCI lightning checkpoint (T5 + decode
+    embeddings + PAWA TransformerDecoder + adaptor linear) converts into
+    a params tree NCIT5 accepts, with the pieces wired to the right
+    modules (``try_load_ckpt``'s source layout, ``MEVI/main.py:191-249``)."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    import jax
+    import jax.numpy as jnp
+    from mevi_tpu.models.nci import NCIDims, NCIT5
+    from mevi_tpu.models.t5 import T5Dims
+
+    D, H, FF, KARY, L = 16, 2, 32, 4, 4
+    V = KARY * L + 2
+    t5cfg = transformers.T5Config(
+        vocab_size=64, d_model=D, d_kv=D // H, d_ff=FF, num_heads=H,
+        num_layers=1, num_decoder_layers=1, dropout_rate=0.0,
+        feed_forward_proj="relu")
+    torch.manual_seed(0)
+    hf = transformers.T5Model(t5cfg).eval()
+    sd = {k: v for k, v in hf.state_dict().items()}
+
+    dec_layer = torch.nn.TransformerDecoderLayer(
+        d_model=D, nhead=H, dim_feedforward=FF, batch_first=True)
+    adaptor = torch.nn.TransformerDecoder(dec_layer, num_layers=1).eval()
+    for k, v in adaptor.state_dict().items():
+        sd[f"adaptor.{k}"] = v
+    sd["decode_embeddings.weight"] = torch.randn(V, D)
+    sd["adaptor_linear.weight"] = torch.randn(D * V, D)
+    sd["adaptor_embeddings"] = torch.randn(1, D)
+    sd = {k: v.detach().numpy() for k, v in sd.items()}
+
+    params = convert.convert_nci_checkpoint(sd, 1, 1, adaptor_layers=1)
+    np.testing.assert_allclose(params["adaptor_kernel"],
+                               sd["adaptor_linear.weight"].T)
+    np.testing.assert_allclose(
+        params["pawa"]["memory_embedding"].reshape(-1),
+        sd["adaptor_embeddings"].reshape(-1))
+    np.testing.assert_allclose(params["decode_embeddings"]["embedding"],
+                               sd["decode_embeddings.weight"])
+
+    dims = NCIDims(t5=T5Dims(vocab_size=64, d_model=D, d_kv=D // H,
+                             d_ff=FF, num_heads=H, num_layers=1,
+                             num_decoder_layers=1, dropout_rate=0.0),
+                   kary=KARY, max_output_length=L, adaptor_layer_num=1,
+                   adaptor_num_heads=H, adaptor_d_ff=FF)
+    model = NCIT5(dims)
+    ref = model.init(jax.random.PRNGKey(0),
+                     jnp.zeros((1, 6), jnp.int32),
+                     jnp.ones((1, 6), jnp.int32),
+                     jnp.zeros((1, L), jnp.int32))["params"]
+    # identical tree structure (same leaves, same shapes)
+    ref_shapes = jax.tree.map(lambda x: x.shape, ref)
+    got_shapes = jax.tree.map(lambda x: np.asarray(x).shape, params)
+    assert jax.tree_util.tree_structure(ref_shapes) == \
+        jax.tree_util.tree_structure(got_shapes)
+    assert jax.tree.leaves(ref_shapes) == jax.tree.leaves(got_shapes)
+
+    logits, _, _, _ = model.apply(
+        {"params": jax.tree.map(jnp.asarray, params)},
+        jnp.ones((2, 6), jnp.int32), jnp.ones((2, 6), jnp.int32),
+        jnp.zeros((2, L), jnp.int32))
+    assert np.isfinite(np.asarray(logits)).all()
