@@ -507,7 +507,7 @@ def main():
     # always re-OOM (observed with the 8.84M -> 4.4M -> 1M ladder)
     import subprocess
     fallback_from = None
-    child_timeout = int(os.environ.get("BENCH_CHILD_TIMEOUT", 2400))
+    child_timeout = int(os.environ.get("BENCH_CHILD_TIMEOUT", 1500))
     # ladder: full scale in bf16; if HBM is short (pool degradation),
     # full scale in int8 (6.8 GB index); then smaller bf16 indexes
     if os.environ.get("BENCH_DTYPE"):
