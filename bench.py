@@ -9,10 +9,12 @@ REAL geometry: MS-MARCO-scale corpus (8,841,823 docs x 768, bf16), RQ
 
 * an on-device assert that the Pallas bucket kernel matches its XLA
   oracle on a sample,
-* a recall@k-vs-exact-MIPS check of the cluster+cap fine stage from the
-  same run (codebook-beam coarse stand-in for the model path),
-* a per-stage latency table with the RPC roundtrip floor subtracted and
-  rough MFU estimates.
+* recall@100-vs-exact-MIPS checks of the cluster+cap fine stage from
+  the same run (codebook-beam and oracle-coarse stand-ins for the
+  model path),
+* a per-stage latency table (qenc / beam / bucket) with the RPC
+  roundtrip floor reported, rough MFU estimates, and a small-batch
+  latency probe.
 
 Measurement notes for tunneled TPU deployments (axon):
 ``jax.block_until_ready`` is a NO-OP — every timing fetches a result;

@@ -69,14 +69,12 @@ def serve_batch(
 
 
 class PallasServer:
-    """Two-dispatch TPU server: fused (qenc + beam) -> tiny host hop for
-    the CSR offset arithmetic -> Pallas bucket re-rank + pool top-k.
-
-    Rationale: on TPU, table gathers (``offsets[cidx]``,
-    ``doc_ids[rows]``) carry a large fixed cost, while the beam codes are
-    a few KB — so the index arithmetic runs on host numpy between two
-    device dispatches, and cluster members are DMA'd by the bucket
-    kernel (see ``ops/bucket.py``).
+    """Three-dispatch TPU server with zero host hops per batch:
+    (1) fused qenc + constrained beam + cluster-index prep,
+    (2) the Pallas bucket kernel (CSR offsets lookup rides a DMA inside
+    the kernel), (3) per-query pool top-k packed into ONE int32 output
+    so a batch costs a single host fetch.  Back-to-back batches
+    pipeline; ``finalize`` maps CSR rows to original doc ids on host.
     """
 
     def __init__(self, qtower, nci, q_params, nci_params,
