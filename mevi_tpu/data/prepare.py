@@ -142,6 +142,8 @@ def compose_train_data(origin_dir: str, recipe: str,
             assert corpus_path, "recipe 'doc' needs corpus_path"
             with open(corpus_path, encoding="utf-8") as fr:
                 for line in fr:
+                    if not line.strip():
+                        continue
                     did, title, content = (line.rstrip("\n").split("\t")
                                            + ["", ""])[:3]
                     pairs.append((doc_as_query_text(title, content, style),
