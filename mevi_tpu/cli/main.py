@@ -572,8 +572,11 @@ def cmd_train_joint(args):
     sampler = None
     if args.codes and tcfg.co_neg_num > 0 and not tcfg.no_twin_loss:
         sampler = ClusterNegativeSampler(np.load(args.codes), m.kary)
-    ds = JointDataset(qids, qmask, pos_doc, dtok, dmask, sampler,
-                      n_neg=tcfg.co_neg_num if sampler else 0)
+    ds = JointDataset(
+        qids, qmask, pos_doc, dtok, dmask, sampler,
+        n_neg=tcfg.co_neg_num if sampler else 0,
+        doc_codes=(np.load(args.codes)
+                   if args.codes and not tcfg.pq_runtime_label else None))
 
     # ---- params ---------------------------------------------------------
     key = jax.random.PRNGKey(tcfg.seed)
@@ -627,7 +630,8 @@ def cmd_train_joint(args):
         centroid_update_loss=tcfg.centroid_update_loss,
         centroid_loss_scale=tcfg.centroid_loss_scale,
         no_nci_loss=tcfg.no_nci_loss, no_twin_loss=tcfg.no_twin_loss,
-        dist_mode=cfg.rq.dist_mode, rdrop=m.rdrop)
+        dist_mode=cfg.rq.dist_mode, rdrop=m.rdrop,
+        runtime_label=tcfg.pq_runtime_label)
 
     if args.pq_update == "ema":
         ema_box = [rq_ops.ema_init(codebooks)]

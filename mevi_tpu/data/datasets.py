@@ -188,6 +188,9 @@ class JointDataset:
     doc_masks: np.ndarray
     sampler: Optional[ClusterNegativeSampler] = None
     n_neg: int = 7
+    # precomputed per-doc codes (``pq_runtime_label=0``): batches carry
+    # 'codes' and the joint step skips the runtime assignment labels
+    doc_codes: Optional[np.ndarray] = None
 
     def __len__(self):
         return len(self.query_ids)
@@ -205,6 +208,8 @@ class JointDataset:
                 "pos_doc_ids": self.doc_tokens[pos],
                 "pos_doc_mask": self.doc_masks[pos],
             }
+            if self.doc_codes is not None:
+                batch["codes"] = self.doc_codes[pos].astype(np.int32)
             if self.sampler is not None and self.n_neg > 0:
                 negs = np.stack([
                     self.sampler.sample(int(p), self.n_neg, rng)

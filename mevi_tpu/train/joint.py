@@ -46,6 +46,9 @@ class JointStepConfig:
     no_twin_loss: bool = False
     dist_mode: str = "l2"
     rdrop: float = 0.0
+    # False (``--pq_runtime_label 0``): NCI labels come from the batch's
+    # precomputed 'codes' instead of the live tower+codebook assignment
+    runtime_label: bool = True
 
 
 class JointParams(dict):
@@ -82,11 +85,14 @@ def joint_loss_fn(nci_model: NCIT5, tower_rep: Callable,
     kary, M = dims.kary, dims.code_len
     codebooks = params["codebooks"]
 
-    # 1-2) runtime RQ labels + codebook logits
+    # 1-2) RQ labels + codebook logits (logits always from the live
+    # reps — distillation targets track the current tower)
     p_reps = tower_rep(params["tower"], batch["pos_doc_ids"],
                        batch["pos_doc_mask"])
     codes, pq_logits = rq_ops.assign_with_logits(
         p_reps, codebooks, "rq", cfg.dist_mode)
+    if not cfg.runtime_label and "codes" in batch:
+        codes = batch["codes"]
     codes = jax.lax.stop_gradient(codes)
 
     # 3) NCI forward

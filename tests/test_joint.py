@@ -120,3 +120,28 @@ def test_joint_ema_step(setup):
     assert not np.allclose(np.asarray(state2.params["codebooks"]),
                            np.asarray(params["codebooks"]))
     assert float(jnp.sum(ema2.cluster_size)) > 0
+
+
+def test_precomputed_labels_pq_runtime_label_0(setup, rng):
+    """runtime_label=False: the NCI CE target is the batch's
+    precomputed codes, not the live assignment (``--pq_runtime_label
+    0``)."""
+    nci, tower_rep, params, batch = setup
+    M = nci.dims.code_len
+    b = batch["query_ids"].shape[0]
+    fixed = jnp.asarray(rng.integers(0, nci.dims.kary, (b, M)),
+                        jnp.int32)
+    batch_fixed = dict(batch, codes=fixed)
+    cfg_rt = J.JointStepConfig(pq_loss="label")
+    cfg_fx = J.JointStepConfig(pq_loss="label", runtime_label=False)
+    loss_rt, _ = J.joint_loss_fn(nci, tower_rep, params, batch_fixed,
+                                 None, cfg_rt)
+    loss_fx, _ = J.joint_loss_fn(nci, tower_rep, params, batch_fixed,
+                                 None, cfg_fx)
+    # random fixed codes are (almost surely) different targets than the
+    # runtime assignment -> different CE
+    assert not np.isclose(float(loss_rt), float(loss_fx))
+    # and with runtime_label=True the 'codes' key is ignored
+    loss_rt2, _ = J.joint_loss_fn(nci, tower_rep, params, batch, None,
+                                  cfg_rt)
+    np.testing.assert_allclose(float(loss_rt), float(loss_rt2), rtol=1e-6)
