@@ -262,27 +262,47 @@ def host_prefetch(iterator, size: int = 4):
     (``main_models.py:3493-3515``) because hard-negative sampling runs
     in ``__getitem__``; this is the TPU-side equivalent — batch assembly
     (memmap reads, in-cluster negative draws) overlaps the device step.
-    Worker exceptions re-raise at the consumer."""
+    Worker exceptions re-raise at the consumer.  If the consumer
+    abandons the generator mid-epoch (break / exception / GC), the
+    worker notices via a shutdown event and exits instead of blocking
+    forever on a full queue (which would leak the thread and pin the
+    buffered batches)."""
     import queue
     import threading
     buf = queue.Queue(maxsize=size)
     SENTINEL = object()
     err = []
+    stop = threading.Event()
 
     def worker():
         try:
             for item in iterator:
-                buf.put(item)
+                while not stop.is_set():
+                    try:
+                        buf.put(item, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
         except BaseException as e:          # noqa: BLE001 - forwarded
             err.append(e)
         finally:
-            buf.put(SENTINEL)
+            while not stop.is_set():
+                try:
+                    buf.put(SENTINEL, timeout=0.5)
+                    break
+                except queue.Full:
+                    continue
 
     threading.Thread(target=worker, daemon=True).start()
-    while True:
-        item = buf.get()
-        if item is SENTINEL:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = buf.get()
+            if item is SENTINEL:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()

@@ -231,6 +231,13 @@ class FineReranker:
         self.cap, self.pool = cap, pool
         self.kary = index.kary
         self.on_cpu = jax.default_backend() == "cpu"
+        # int8 corpus: queries must STAY float (casting unit-norm float
+        # components ~0.01-0.5 to int8 truncates them to zeros);
+        # _beam_scores / the bucket kernel upcast the int8 gather instead
+        if index.sorted_emb.dtype == jnp.int8:
+            self.q_dt = jnp.float32 if self.on_cpu else jnp.bfloat16
+        else:
+            self.q_dt = index.sorted_emb.dtype
         if index.host_offsets is not None:
             self.offsets_h = np.asarray(index.host_offsets, np.int64)
             self.doc_ids_h = np.asarray(index.host_doc_ids)
@@ -270,7 +277,7 @@ class FineReranker:
         import numpy as np
         from ..ops.mips import mips_topk
         semb = self.semb if not self.on_cpu else self.index.sorted_emb
-        q = jnp.asarray(query_emb).astype(semb.dtype)
+        q = jnp.asarray(query_emb).astype(self.q_dt)
         k = min(self.pool, scores.shape[-1])
         s_all, rows = mips_topk(q, semb, k=k)
         rows_h = np.asarray(rows)
@@ -298,8 +305,7 @@ class FineReranker:
                 else np.zeros(B, bool))
         if self.on_cpu:
             s, i, nd = fine_rerank(
-                jnp.asarray(query_emb).astype(
-                    self.index.sorted_emb.dtype),
+                jnp.asarray(query_emb).astype(self.q_dt),
                 jnp.asarray(beam_codes), self.index.offsets,
                 self.index.doc_ids, self.index.sorted_emb, self.kary,
                 self.cap, self.pool)
@@ -314,7 +320,7 @@ class FineReranker:
         cidx = jnp.asarray(np.concatenate(
             [cidx_h, np.zeros(pad_g, np.int32)]) if pad_g else cidx_h)
         q_rep = jnp.repeat(jnp.asarray(query_emb).astype(
-            self.semb.dtype), nb, axis=0)
+            self.q_dt), nb, axis=0)
         if pad_g:
             q_rep = jnp.concatenate(
                 [q_rep, jnp.zeros((pad_g, q_rep.shape[1]),

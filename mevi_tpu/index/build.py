@@ -201,8 +201,14 @@ def quantize_int8(emb: np.ndarray,
     (int8 matrix, scale) with ``v_int8 = round(scale * v)``; per-query
     ranking is scale-invariant, and calibrated scores fold ``1/scale``
     into the query rows (``serve.PallasServer(inv_scale=...)``).
+
+    The scale comes from the TRUE global max |v| (one chunked pass —
+    nothing is ever clipped beyond the 126/127 guard margin).
     """
-    s_max = float(np.max(np.abs(emb[:min(len(emb), 1 << 16)])))
+    s_max = 0.0
+    for s in range(0, len(emb), 1 << 20):
+        s_max = max(s_max, float(np.max(np.abs(
+            np.asarray(emb[s:s + (1 << 20)], np.float32)))))
     scale = 126.0 / max(s_max, 1e-12)
     out = np.clip(np.round(emb.astype(np.float32) * scale),
                   -127, 127).astype(np.int8)

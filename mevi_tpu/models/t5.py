@@ -307,7 +307,8 @@ class T5Stack(nn.Module):
         Args:
           embed_t: (b, 1, d) current-token embedding.
           t: traced step index.
-          cache: list of per-layer (k, v) (b, h, max_len, d_kv).
+          cache: list of per-layer (k, v), time-major
+            (max_len, b, h, d_kv) — see ``init_cache``.
           cross_kvs: precomputed cross-attn (k, v) per layer — shape
             (b, h, enc_len, d_kv), or (b // beams, h, enc_len, d_kv)
             when ``beams > 1``: the K/V are per *query* and shared by

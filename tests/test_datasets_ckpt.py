@@ -123,3 +123,20 @@ def test_host_prefetch_order_and_errors():
         for x in host_prefetch(boom(), size=2):
             out.append(x)
     assert out == [1]
+
+
+def test_host_prefetch_abandoned_consumer_stops_worker():
+    """Breaking out of the generator mid-epoch must release the worker
+    thread (it used to block forever on a full queue)."""
+    import threading
+    import time
+    from mevi_tpu.data.datasets import host_prefetch
+
+    n_before = threading.active_count()
+    gen = host_prefetch(iter(range(1000)), size=2)
+    assert next(gen) == 0
+    gen.close()                      # triggers the finally -> stop event
+    deadline = time.time() + 5.0
+    while threading.active_count() > n_before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= n_before

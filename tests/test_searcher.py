@@ -167,3 +167,45 @@ def test_int8_fine_rerank_matches_float(rng):
     assert overlap >= 0.9, overlap
     # top-1 doc agrees
     assert (ids_f[:, 0] == ids_q[:, 0]).mean() >= 0.75
+
+
+def test_int8_fine_reranker_class_matches_float(rng):
+    """FineReranker (the class cmd_eval's Evaluator drives) keeps
+    queries FLOAT against an int8 corpus — casting them to the corpus
+    dtype truncates unit-norm components to zeros and destroys the
+    ranking (round-2 advisor finding)."""
+    import jax.numpy as jnp
+    from mevi_tpu.eval.searcher import FineReranker, build_fine_index
+    from mevi_tpu.index.build import quantize_int8
+
+    ndoc, d, kary, M = 400, 32, 4, 2
+    emb = rng.normal(size=(ndoc, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    codes = rng.integers(0, kary, size=(ndoc, M)).astype(np.int32)
+    q = rng.normal(size=(8, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    beams = codes[rng.integers(0, ndoc, size=(8, 3))]
+
+    fine_f = build_fine_index(codes, emb, kary)
+    emb_q, _ = quantize_int8(emb)
+    fine_q = build_fine_index(codes, emb_q, kary)
+
+    rr_f = FineReranker(fine_f, cap=64, pool=10, overflow="truncate")
+    rr_q = FineReranker(fine_q, cap=64, pool=10, overflow="truncate")
+    _, ids_f, _ = rr_f(jnp.asarray(q), jnp.asarray(beams))
+    _, ids_q, _ = rr_q(jnp.asarray(q), jnp.asarray(beams))
+    overlap = np.mean([len(set(ids_f[i][ids_f[i] >= 0])
+                           & set(ids_q[i][ids_q[i] >= 0]))
+                       / max((ids_f[i] >= 0).sum(), 1)
+                       for i in range(8)])
+    assert overlap >= 0.9, overlap
+
+    # overflow='scan' path also stays float against int8
+    big_codes = np.zeros((ndoc, M), np.int32)
+    fine_big = build_fine_index(big_codes, emb_q, kary)
+    rr_scan = FineReranker(fine_big, cap=16, pool=10, overflow="scan")
+    _, ids_s, _ = rr_scan(jnp.asarray(q), np.zeros((8, 1, M), np.int32))
+    exact = np.argsort(-(q @ emb.T), axis=1)[:, :10]
+    hit = np.mean([len(set(ids_s[i]) & set(exact[i])) / 10.0
+                   for i in range(8)])
+    assert hit >= 0.8, hit
