@@ -433,6 +433,7 @@ def _nci_dims(cfg, dropout=None):
     tie_decode_embedding; ``MEVI/main.py:755-779``)."""
     from ..models.nci import NCIDims
     from ..models.t5 import T5Dims
+    import jax.numpy as jnp
     m = cfg.model
     return NCIDims(
         t5=T5Dims(vocab_size=m.vocab_size, d_model=m.d_model,
@@ -441,7 +442,9 @@ def _nci_dims(cfg, dropout=None):
                   num_decoder_layers=m.num_decoder_layers,
                   dropout_rate=(m.dropout_rate if dropout is None
                                 else dropout),
-                  gated_act=(m.feed_forward_proj == "gated-gelu")),
+                  gated_act=(m.feed_forward_proj == "gated-gelu"),
+                  dtype=(jnp.bfloat16 if m.dtype == "bfloat16"
+                         else jnp.float32)),
         kary=m.kary, max_output_length=m.max_output_length,
         adaptor_layer_num=m.adaptor_layer_num,
         adaptor_num_heads=m.adaptor_num_heads,
@@ -487,7 +490,12 @@ def cmd_train(args):
     opt = T.make_optimizer(cfg.train, params, total_steps=total)
     state = T.init_state(params, opt)
     step_cfg = T.NCIStepConfig(rdrop=m.rdrop, rdrop_loss=m.rdrop_loss)
-    step = T.make_nci_train_step(model, opt, step_cfg)
+    scan_k = max(int(getattr(args, "scan_steps", 1) or 1), 1)
+    scan_k = min(scan_k, steps_per_epoch)   # an epoch must yield >=1 group
+    if scan_k > 1:
+        chunk = T.make_nci_train_chunk(model, opt, step_cfg)
+    else:
+        step = T.make_nci_train_step(model, opt, step_cfg)
 
     logger = MetricsLogger(args.log_dir or cfg.ckpt_dir,
                            run_name("nci", cfg))
@@ -511,16 +519,33 @@ def cmd_train(args):
             print(f"resumed from epoch {start_epoch}")
     from ..data.datasets import host_prefetch
     gstep = int(state.step)
+    use_rng = m.dropout_rate > 0 or m.rdrop > 0
     for epoch in range(start_epoch, cfg.train.num_train_epochs):
-        for batch in host_prefetch(ds.batches(bs, rng)):
-            key, sub = jax.random.split(key)
-            state, metrics = step(
-                state, {k: jnp.asarray(v) for k, v in batch.items()},
-                sub if m.dropout_rate > 0 or m.rdrop > 0 else None)
-            gstep += 1
-            if gstep % args.log_every == 0:
-                logger.log({k: float(v) for k, v in metrics.items()},
-                           gstep)
+        if scan_k > 1:
+            # K steps per dispatch: amortizes the per-RPC dispatch floor
+            # on tunneled TPUs (see make_nci_train_chunk)
+            for group in host_prefetch(
+                    _grouped(ds.batches(bs, rng), scan_k)):
+                stacked = {k: jnp.asarray(np.stack([g[k] for g in group]))
+                           for k in group[0]}
+                key, sub = jax.random.split(key)
+                state, metrics = chunk(state, stacked,
+                                       sub if use_rng else None)
+                gstep += len(group)
+                if gstep // args.log_every > \
+                        (gstep - len(group)) // args.log_every:
+                    logger.log({k: float(v) for k, v in metrics.items()},
+                               gstep)
+        else:
+            for batch in host_prefetch(ds.batches(bs, rng)):
+                key, sub = jax.random.split(key)
+                state, metrics = step(
+                    state, {k: jnp.asarray(v) for k, v in batch.items()},
+                    sub if use_rng else None)
+                gstep += 1
+                if gstep % args.log_every == 0:
+                    logger.log({k: float(v) for k, v in metrics.items()},
+                               gstep)
         loss = float(metrics["loss"])
         print(f"epoch {epoch}: loss {loss:.4f}")
         ckpts.save(f"epoch{epoch}",
@@ -709,6 +734,17 @@ def cmd_train_joint(args):
 def dataclasses_replace(obj, **kw):
     import dataclasses
     return dataclasses.replace(obj, **kw)
+
+
+def _grouped(it, k):
+    """Group an iterator into lists of k (drop a final partial group —
+    a shorter group would retrace the scan program)."""
+    group = []
+    for x in it:
+        group.append(x)
+        if len(group) == k:
+            yield group
+            group = []
 
 
 def cmd_eval(args):
@@ -947,6 +983,9 @@ def build_parser():
     sp.add_argument("--log_dir", default=None)
     sp.add_argument("--log_every", type=int, default=50)
     sp.add_argument("--max_epochs", type=int, default=0)
+    sp.add_argument("--scan_steps", type=int, default=1,
+                    help="steps fused per dispatch (lax.scan); "
+                         "amortizes the RPC floor on tunneled TPUs")
     sp.add_argument("--resume", default=None,
                     help="'best' or a checkpoint tag")
     sp.set_defaults(fn=cmd_train)

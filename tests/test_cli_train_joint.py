@@ -132,3 +132,17 @@ def test_train_nci_cli_and_resume(workdir, capsys):
     out2 = capsys.readouterr().out
     assert "resumed from epoch 1" in out2
     assert "epoch 1" in out2
+
+
+def test_train_nci_cli_scan_steps(workdir, capsys):
+    """--scan_steps N fuses N steps per dispatch and still trains."""
+    w = workdir
+    args = ["train", "--config", w["cfgp"],
+            "--queries", str(w["tmp"] / "q"),
+            "--query_length", str(w["Lq"]),
+            "--codes", str(w["tmp"] / "codes.npy"),
+            "--train_tsv", str(w["tmp"] / "train.tsv"),
+            "--scan_steps", "2", "--max_epochs", "1"]
+    main(args)
+    out = capsys.readouterr().out
+    assert "epoch 0" in out

@@ -137,3 +137,38 @@ def test_schedule_shape():
     assert float(s(10)) == pytest.approx(1.0)
     assert float(s(60)) == pytest.approx(0.5)
     assert float(s(110)) == pytest.approx(0.0)
+
+
+def test_train_chunk_matches_per_step(rng):
+    """K scanned steps == K individual steps (same params trajectory)."""
+    model = small_model()
+    B, K, QLEN = 4, 3, 6
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, QLEN), jnp.int32),
+                        jnp.ones((1, QLEN), jnp.int32),
+                        jnp.zeros((1, L_OUT), jnp.int32))["params"]
+    cfg = TrainConfig(learning_rate=1e-3, warmup_steps=2,
+                      train_batch_size=B)
+    opt = T.make_optimizer(cfg, params, total_steps=K)
+    qids = rng.integers(0, 64, size=(K, B, QLEN)).astype(np.int32)
+    qmask = np.ones((K, B, QLEN), np.int32)
+    codes = rng.integers(0, KARY, size=(K, B, M)).astype(np.int32)
+
+    step = T.make_nci_train_step(model, opt, donate=False)
+    s1 = T.init_state(params, opt)
+    for i in range(K):
+        s1, m1 = step(s1, {"query_ids": jnp.asarray(qids[i]),
+                           "query_mask": jnp.asarray(qmask[i]),
+                           "codes": jnp.asarray(codes[i])}, None)
+
+    chunk = T.make_nci_train_chunk(model, opt)
+    s2 = T.init_state(params, opt)
+    s2, m2 = chunk(s2, {"query_ids": jnp.asarray(qids),
+                        "query_mask": jnp.asarray(qmask),
+                        "codes": jnp.asarray(codes)}, None)
+    assert int(s2.step) == int(s1.step) == K
+    assert float(m2["loss"]) == pytest.approx(float(m1["loss"]), rel=1e-5)
+    a, b = jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=2e-4, atol=2e-6)
