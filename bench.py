@@ -3,18 +3,36 @@
 Measures the reference's headline serving configuration
 (``marco_eval_nci_rq.sh``: T5-ANCE query tower + NCI beam-10 coarse
 decode + in-cluster fine re-rank, recall pool 1000) on one TPU chip at
-REAL geometry: MS-MARCO-scale corpus (8,841,823 docs x 768, bf16), RQ
-4x32 codes from an actual k-means fit of clustered-Gaussian embeddings
-(so cluster sizes carry realistic skew), with
+REAL geometry: MS-MARCO-scale corpus (8,841,823 docs x 768), RQ 4x32
+codes from an actual k-means fit of a hierarchical synthetic corpus
+(``mevi_tpu/data/synth.py``; cluster sizes carry realistic Zipf skew).
+
+Two pipelines:
+
+* **default** (random weights): qenc + beam run in full; the bucket
+  stage is driven by ``cidx_override`` clusters sampled doc-weighted
+  from the corpus (random NCI weights' beams land in empty clusters —
+  the fine stage would otherwise do no work).
+* **BENCH_CKPT=<quality workdir>** (trained weights from
+  ``scripts/quality_full.py``): the beam's OWN codes drive the bucket
+  kernel — no override anywhere — and gt-doc recall of the full served
+  pipeline is reported from the same run.
+
+Also captured in the same process:
 
 * an on-device assert that the Pallas bucket kernel matches its XLA
   oracle on a sample,
-* recall@100-vs-exact-MIPS checks of the cluster+cap fine stage from
-  the same run (codebook-beam and oracle-coarse stand-ins for the
-  model path),
-* a per-stage latency table (qenc / beam / bucket) with the RPC
-  roundtrip floor reported, rough MFU estimates, and a small-batch
-  latency probe.
+* recall@100-vs-exact-MIPS of the cluster+cap fine stage (codebook-beam
+  stand-in plus a COVERAGE-OPTIMAL oracle: clusters ranked by member
+  count among the exact top-100 — a true upper bound for any
+  NBEAM-cluster coarse stage at this cap),
+* a measured reference-style baseline: eval_batch_size=2, cache-less
+  panel beam decode (``generation_utils.py:763`` use_cache=False), host
+  round-trip between coarse and fine — the reference's serving
+  architecture on the SAME chip, so ``vs_baseline`` is measured/measured,
+* per-stage latency (dispatch-isolated) with MFU derived from XLA's
+  compiled cost analysis + ``jax.profiler.trace`` device-op durations
+  (no hand-rolled FLOP constants).
 
 Measurement notes for tunneled TPU deployments (axon):
 ``jax.block_until_ready`` is a NO-OP — every timing fetches a result;
@@ -26,6 +44,7 @@ enqueued back-to-back.
 Prints exactly ONE JSON line on stdout.
 """
 
+import dataclasses
 import json
 import os
 import sys
@@ -34,10 +53,7 @@ from functools import partial
 
 import numpy as np
 
-BASELINE_QPS_PER_CHIP = 100.0
-# no published reference throughput exists (BASELINE.json "published": {});
-# 100 q/s/GPU is a generous stand-in for the reference's python-loop
-# beam + host-side ragged gathers at eval_batch_size=2
+BASELINE_QPS_FALLBACK = 100.0   # only if the measured baseline fails
 
 # The axon remote-compile helper writes its logs to fd 1; keep stdout
 # clean for the single JSON result line.
@@ -77,6 +93,7 @@ def run(NDOC, extras):
         # JAX_PLATFORMS env is pinned by the axon plugin; override late
         jax.config.update("jax_platforms", "cpu")
 
+    from mevi_tpu.data import synth
     from mevi_tpu.decode.beam import nci_beam_search_incremental
     from mevi_tpu.models.nci import NCIDims, NCIT5
     from mevi_tpu.models.t5 import T5Dims, T5Model
@@ -88,14 +105,23 @@ def run(NDOC, extras):
     if not on_tpu:
         NDOC = min(NDOC, 20_000)
 
+    ckpt_dir = os.environ.get("BENCH_CKPT")
+    if ckpt_dir:
+        spec = synth.load_spec(os.path.join(ckpt_dir, "spec.json"))
+        NDOC = spec.ndoc
+        D, KARY, M = spec.d, spec.kary, spec.levels
+        QLEN = spec.qlen
+    else:
+        D = 768 if on_tpu else 64
+        KARY, M, QLEN = 32, 4, 32
+        spec = synth.SynthSpec(ndoc=NDOC, d=D, kary=KARY, levels=M,
+                               seed=0, qlen=QLEN)
+
     BATCH = int(os.environ.get("BENCH_BATCH", 512 if on_tpu else 4))
     NBATCH = int(os.environ.get("BENCH_NBATCH", 20 if on_tpu else 3))
     NBEAM = 10
     POOL = 1000 if on_tpu else 100
     CAP = 512 if on_tpu else 64
-    QLEN = 32
-    D = 768 if on_tpu else 64
-    KARY, M = 32, 4
     dt = jnp.bfloat16 if on_tpu else jnp.float32
     # corpus precision: bf16 (default) or int8 (halves the index to
     # 6.8 GB at 8.84M docs — full MS-MARCO scale fits one v5e with
@@ -103,6 +129,7 @@ def run(NDOC, extras):
     corpus_int8 = os.environ.get("BENCH_DTYPE", "bf16") == "int8"
     extras["ndoc"] = NDOC
     extras["batch"] = BATCH
+    extras["pipeline"] = "trained" if ckpt_dir else "cidx_override"
     extras["corpus_dtype"] = ("int8" if corpus_int8
                               else "bf16" if on_tpu else "f32")
 
@@ -118,20 +145,28 @@ def run(NDOC, extras):
     log(f"rpc floor: {t_rpc*1e3:.1f} ms")
 
     # ---- models ---------------------------------------------------------
-    if on_tpu:
+    if ckpt_dir:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from mevi_tpu.cli.main import _nci_dims, load_config
+        from mevi_tpu.models.twin_tower import tower_from_config
+        cfg = load_config(os.path.join(ckpt_dir, "cfg.json"))
+        nci = NCIT5(_nci_dims(cfg, dropout=0.0))
+        qtower = tower_from_config(cfg.encoder).module
+    elif on_tpu:
         t5 = T5Dims(num_layers=12, num_decoder_layers=6, d_model=768,
                     d_kv=64, d_ff=3072, num_heads=12, dropout_rate=0.0,
                     dtype=dt)
         qt5 = T5Dims(num_layers=12, num_decoder_layers=12, d_model=768,
                      d_kv=64, d_ff=3072, num_heads=12, dropout_rate=0.0,
                      dtype=dt)
+        nci = NCIT5(NCIDims(t5=t5, kary=KARY, max_output_length=M + 2))
+        qtower = T5Model(qt5)
     else:
         t5 = T5Dims(vocab_size=512, num_layers=2, num_decoder_layers=2,
                     d_model=D, d_kv=16, d_ff=128, num_heads=4,
                     dropout_rate=0.0)
-        qt5 = t5
-    nci = NCIT5(NCIDims(t5=t5, kary=KARY, max_output_length=M + 2))
-    qtower = T5Model(qt5)
+        nci = NCIT5(NCIDims(t5=t5, kary=KARY, max_output_length=M + 2))
+        qtower = T5Model(t5)
 
     rng = jax.random.PRNGKey(0)
     ids = jnp.ones((BATCH, QLEN), jnp.int32)
@@ -148,74 +183,17 @@ def run(NDOC, extras):
     # two don't fit in the other order)
 
     # ---- corpus: generated ON DEVICE from small tables ------------------
-    # 3-level shared-sons hierarchy (RQ 4x32's generative model: level 4
-    # encodes the leaf noise) with per-level Zipf skew.  Flat clustered
-    # Gaussians make RQ levels 2+ pure noise — query and neighbor codes
-    # then NEVER agree and any coarse stand-in scores ~0 recall by
-    # construction, which benchmarks nothing.
-    #
-    # A doc is fully determined by 4 small ints (level choices + noise
-    # pool row), so the 13.6 GB sorted matrix is synthesized straight
-    # into HBM chunk-by-chunk (donated dynamic_update_slice) — no 13.6 GB
-    # host generation, disk file, or wire transfer (the wire moves
-    # ~140 MB of draws instead; the full-corpus prep drops from ~35 min
-    # to ~2 min and host staging can't OOM the device).
-    cache_dir = os.environ.get("BENCH_CACHE",
-                               f"/tmp/mevi_bench_h3_{NDOC}_{D}")
-    os.makedirs(cache_dir, exist_ok=True)
-    codes_p = os.path.join(cache_dir, "codes.npy")
-    cbs_p = os.path.join(cache_dir, "codebooks.npy")
+    # (see mevi_tpu/data/synth.py — shared with the quality run, so a
+    # BENCH_CKPT bundle serves the exact corpus its models were trained
+    # on).  A doc is fully determined by 4 small ints, so the sorted
+    # matrix is synthesized straight into HBM chunk-by-chunk.
     host = np.random.default_rng(0)
-    L_SCALE = (1.0, 0.42, 0.18)
-    L_ZIPF = (1.1, 0.8, 0.5)
-    EPS = 0.06
-    POOLN = 1 << 16
     t0 = time.time()
-    draws = np.empty((NDOC, 4), np.int32)
-    for j, a in enumerate(L_ZIPF):
-        p = 1.0 / np.arange(1, KARY + 1) ** a
-        draws[:, j] = host.choice(KARY, size=NDOC, p=p / p.sum())
-    draws[:, 3] = host.integers(0, POOLN, NDOC)
-    ctrs_h = np.stack([host.normal(size=(KARY, D)).astype(np.float32) * s
-                       for s in L_SCALE])
-    pool_h = (host.standard_normal((POOLN, D)) * EPS).astype(np.float32)
-    tables = (jnp.asarray(ctrs_h), jnp.asarray(pool_h))
-
-    def _gen(tables, dr):
-        ctrs, pool = tables
-        v = (ctrs[0][dr[:, 0]] + ctrs[1][dr[:, 1]] + ctrs[2][dr[:, 2]]
-             + pool[dr[:, 3]])
-        # unit-norm rows: max-inner-product == nearest-L2, so the L2-fit
-        # RQ index and the exact-MIPS oracle rank by the SAME objective
-        return v / jnp.linalg.norm(v, axis=1, keepdims=True)
-
-    gen_chunk = jax.jit(_gen)
-    CH = 1 << 19
-    if os.path.exists(codes_p):
-        log(f"codes cache hit: {cache_dir}")
-        codes = np.load(codes_p)
-        cbs = jnp.asarray(np.load(cbs_p))
-    else:
-        fit_rng = np.random.default_rng(7)
-        nfit = min(NDOC, 500_000)
-        sample = gen_chunk(tables, jnp.asarray(
-            draws[fit_rng.choice(NDOC, size=nfit, replace=False)]))
-        cbs, _ = rq_ops.rq_train(sample, levels=M, kary=KARY, iters=8,
-                                 key=jax.random.PRNGKey(1))
-        del sample
-        cbs = cbs.astype(jnp.float32)
-
-        @jax.jit
-        def gen_assign(tables, dr, cbs):
-            return rq_ops.assign(_gen(tables, dr), cbs, "rq", "l2")
-
-        codes = np.empty((NDOC, M), np.int32)
-        for s in range(0, NDOC, CH):
-            e = min(NDOC, s + CH)
-            codes[s:e] = np.asarray(
-                gen_assign(tables, jnp.asarray(draws[s:e]), cbs))
-        np.save(cbs_p, np.asarray(cbs))
-        np.save(codes_p, codes)
+    tab = synth.make_tables(spec)
+    tables = (jnp.asarray(tab[0]), jnp.asarray(tab[1]))
+    draws = synth.make_draws(spec)
+    cbs_h, codes = synth.fit_rq_codes(spec, tables, draws)
+    cbs = jnp.asarray(cbs_h)
     log(f"corpus draws + RQ fit + assign: {time.time() - t0:.1f}s")
 
     # cluster-size skew stats
@@ -234,12 +212,10 @@ def run(NDOC, extras):
     from mevi_tpu.utils.native import build_csr
     t0 = time.time()
     offsets, doc_ids = build_csr(codes, KARY)
-    n_pad = NDOC + CAP + 8
-    n_pad += (-n_pad) % 8
     if corpus_int8:
         # symmetric global-scale quantization; unit-norm rows keep all
         # components well inside the sampled max
-        s_max = float(jnp.max(jnp.abs(gen_chunk(
+        s_max = float(jnp.max(jnp.abs(synth.gen_rows(
             tables, jnp.asarray(draws[:min(NDOC, 1 << 16)])))))
         Q_SCALE = 126.0 / s_max
         extras["int8_scale"] = round(Q_SCALE, 3)
@@ -247,33 +223,9 @@ def run(NDOC, extras):
     else:
         Q_SCALE = None
         dt_corp = dt
-    buf = jnp.zeros((n_pad, D), dt_corp)
-
-    # ONE scan program fills the whole matrix: separate per-chunk
-    # dispatches each pre-allocate their f32 generator temporaries at
-    # ENQUEUE time, so a queue of them runs the 15.75G hbm out next to
-    # the 13.6G buffer; the scan allocates one temp set.  The final
-    # chunk re-covers [NDOC-CH, NDOC) so every start index is in range.
-    CH_FILL = min(1 << 16, NDOC)
-    starts = list(range(0, NDOC - CH_FILL + 1, CH_FILL))
-    if starts[-1] + CH_FILL < NDOC:
-        starts.append(NDOC - CH_FILL)
-    dr_all = np.stack([draws[doc_ids[s:s + CH_FILL]] for s in starts])
-
-    @partial(jax.jit, donate_argnums=(0,))
-    def fill_all(buf, tables, dr_all, starts):
-        def body(b, xs):
-            dr, i = xs
-            row = _gen(tables, dr)
-            if Q_SCALE is not None:
-                row = jnp.clip(jnp.round(row * Q_SCALE), -127, 127)
-            row = row.astype(b.dtype)
-            return jax.lax.dynamic_update_slice_in_dim(b, row, i, 0), ()
-        return jax.lax.scan(body, buf,
-                            (dr_all, starts))[0]
-
-    buf = fill_all(buf, tables, jnp.asarray(dr_all),
-                   jnp.asarray(starts, jnp.int32))
+    buf = synth.fill_sorted_matrix(spec, tables, draws, doc_ids,
+                                   n_pad_rows=CAP + 8, dtype=dt_corp,
+                                   q_scale=Q_SCALE)
     fetch1(buf)
     fine = FineIndex(jnp.asarray(offsets.astype(np.int64)),
                      jnp.asarray(doc_ids), buf, M, KARY,
@@ -284,18 +236,32 @@ def run(NDOC, extras):
     # their draws (exact same rows as the index)
     nq_r = 64
     rec_ids = host.integers(0, NDOC, nq_r)
-    q_base = np.asarray(gen_chunk(tables, jnp.asarray(draws[rec_ids])),
+    q_base = np.asarray(synth.gen_rows(tables,
+                                       jnp.asarray(draws[rec_ids])),
                         np.float32)
-    del tables  # free table HBM before the towers come up
 
     log("init params...")
     t0 = time.time()
-    nci_params = jax.jit(
-        lambda k: cast(nci.init(k, ids, mask, dec_in)["params"]))(rng)
-    q_params = jax.jit(
-        lambda k: cast(qtower.init(
-            k, ids, mask, jnp.zeros((BATCH, 1), jnp.int32))["params"])
-    )(rng)
+    if ckpt_dir:
+        import orbax.checkpoint as ocp
+        from mevi_tpu.train.checkpoints import (CheckpointManager,
+                                                load_params_npz)
+        mgr = CheckpointManager(os.path.join(cfg.ckpt_dir, "nci"),
+                                monitor="loss", mode="min")
+        tag = mgr.best_tag()
+        restored = ocp.StandardCheckpointer().restore(
+            os.path.abspath(os.path.join(cfg.ckpt_dir, "nci", tag)))
+        nci_params = cast(jax.device_put(restored["params"]))
+        q_params = cast(jax.device_put(load_params_npz(
+            os.path.join(ckpt_dir, "tower_params.npz"))))
+        log(f"loaded trained params ({tag})")
+    else:
+        nci_params = jax.jit(
+            lambda k: cast(nci.init(k, ids, mask, dec_in)["params"]))(rng)
+        q_params = jax.jit(
+            lambda k: cast(qtower.init(
+                k, ids, mask, jnp.zeros((BATCH, 1), jnp.int32))["params"])
+        )(rng)
     fetch1(nci_params)
     fetch1(q_params)
     log(f"params ready: {time.time() - t0:.1f}s")
@@ -328,12 +294,13 @@ def run(NDOC, extras):
 
     # ---- recall vs exact MIPS (cluster+cap truncation quality) ----------
     # Queries are perturbed documents; two coarse stand-ins replace the
-    # (here untrained) NCI model:
+    # model path when weights are random:
     #   * codebook-beam over the query embedding (the ADC/topic path),
-    #   * ORACLE coarse = clusters of the exact top-NBEAM docs, which
-    #     isolates the cap + NBEAM-cluster truncation loss.
+    #   * COVERAGE-OPTIMAL oracle = the NBEAM clusters holding the most
+    #     exact-top-100 docs — an upper bound for ANY coarse stage that
+    #     proposes NBEAM clusters (at this cap).
     t0 = time.time()
-    q_emb = q_base + 0.5 * EPS * host.standard_normal((nq_r, D)) \
+    q_emb = q_base + 0.5 * spec.eps * host.standard_normal((nq_r, D)) \
         .astype(np.float32)
     q_emb /= np.linalg.norm(q_emb, axis=1, keepdims=True)
     q_dev = jnp.asarray(q_emb).astype(dt)
@@ -361,24 +328,55 @@ def run(NDOC, extras):
     bcodes, _ = rq_ops.beam_search(jnp.asarray(q_emb), cbs,
                                    num_beams=NBEAM, dist_mode="l2")
     rec_b = cluster_recall(np.asarray(bcodes), "recall100_beam_coarse")
-    # oracle beams: first NBEAM DISTINCT clusters of the exact ranking
-    # (duplicates would waste beam slots on the same member list)
+    # coverage-optimal oracle clusters: rank clusters by how many of the
+    # exact top-100 docs they hold; any NBEAM-cluster coarse proposal
+    # covers at most this many of the top-100 (pre-cap), so the fine
+    # recall under it upper-bounds every model's cluster+cap recall
+    from mevi_tpu.index.csr import unpack_codes
     oracle = np.zeros((nq_r, NBEAM, M), np.int32)
+    coverage = np.zeros(nq_r)
     for i in range(nq_r):
-        seen, j = set(), 0
-        for did in eids_h[i]:
-            key = tuple(codes[did])
-            if key in seen:
-                continue
-            seen.add(key)
-            oracle[i, j] = codes[did]
-            j += 1
-            if j == NBEAM:
-                break
-        oracle[i, j:] = oracle[i, max(j - 1, 0)]
+        cl = cidx_all[eids_h[i]]
+        uniq, counts = np.unique(cl, return_counts=True)
+        order = np.argsort(-counts)
+        top = uniq[order][:NBEAM]
+        coverage[i] = counts[order][:NBEAM].sum() / 100.0
+        oc = unpack_codes(top.astype(np.int64), M, KARY)
+        oracle[i, :len(top)] = oc
+        if len(top) < NBEAM:
+            oracle[i, len(top):] = oc[-1]
+    extras["oracle_cluster_coverage"] = round(float(coverage.mean()), 4)
     rec_o = cluster_recall(oracle, "recall100_oracle_coarse")
     log(f"recall@100 vs exact MIPS: beam-coarse {rec_b:.4f} / "
-        f"oracle-coarse {rec_o:.4f} ({time.time() - t0:.1f}s)")
+        f"oracle-coarse {rec_o:.4f} "
+        f"(coverage bound {coverage.mean():.4f}, "
+        f"{time.time() - t0:.1f}s)")
+
+    # ---- trained-pipeline recall (BENCH_CKPT) ---------------------------
+    rec_queries = None
+    if ckpt_dir:
+        # dev utterances for sampled (indexed) docs — the full served
+        # path: tokens -> tower emb + NCI beam -> bucket -> top-pool
+        n_rq = max(BATCH, 256)
+        gt_docs = host.integers(0, NDOC, n_rq)
+        tok = synth.query_tokens(spec, draws[gt_docs],
+                                 np.random.default_rng(123))
+        ids_q = jnp.asarray(tok.astype(np.int32))
+        mask_q = jnp.ones_like(ids_q)
+        scores_, ids_, codes_, bsc_, ndoc_ = server.query(ids_q, mask_q)
+        gt = codes[gt_docs]
+        eq = (codes_ == gt[:, None, :]).all(-1)
+        extras["trained_coarse_hit@1"] = round(float(eq[:, 0].mean()), 4)
+        extras["trained_coarse_hit@10"] = round(float(eq.any(1).mean()),
+                                                4)
+        found = (ids_ == gt_docs[:, None])
+        extras["trained_fine_recall@100"] = round(
+            float(found[:, :100].any(1).mean()), 4)
+        extras["trained_ndoc_per_query"] = round(float(ndoc_.mean()), 1)
+        log(f"trained pipeline: coarse hit@10 "
+            f"{extras['trained_coarse_hit@10']} fine recall@100 "
+            f"{extras['trained_fine_recall@100']}")
+        rec_queries = tok
 
     # ---- compile serving path -------------------------------------------
     log("compiling serving pipeline...")
@@ -388,24 +386,34 @@ def run(NDOC, extras):
     extras["cold_start_s"] = round(t_compile, 1)
     log(f"pipeline compiled + first run: {t_compile:.1f}s")
 
-    # ---- throughput -------------------------------------------------------
-    # beam codes from RANDOM NCI weights land in empty clusters and the
-    # fine stage would do no work; cidx_override drives the bucket stage
-    # with clusters sampled doc-weighted from the real (skewed) corpus
-    # distribution while qenc + beam still run in full
+    # ---- throughput -----------------------------------------------------
     from mevi_tpu.ops.bucket import ROWS
     g = BATCH * NBEAM
     g_pad = g + (-g) % ROWS
     batches = []
     ndoc_seen = []
     for i in range(NBATCH):
-        ids_i = jnp.asarray(np.full((BATCH, QLEN), 1 + (i % 7), np.int32))
-        ci = cidx_all[host.integers(0, NDOC, size=g)].astype(np.int32)
-        ndoc_seen.append(
-            (offsets[ci + 1] - offsets[ci]).reshape(BATCH, NBEAM)
-            .sum(-1).mean())
-        ci = np.pad(ci, (0, g_pad - g))
-        batches.append((ids_i, mask, jnp.asarray(ci)))
+        if ckpt_dir:
+            # real token queries; the beam's own codes feed the bucket
+            docs_i = host.integers(0, NDOC, BATCH)
+            ids_i = jnp.asarray(synth.query_tokens(
+                spec, draws[docs_i],
+                np.random.default_rng(1000 + i)).astype(np.int32))
+            batches.append((ids_i, mask, None))
+        else:
+            # beam codes from RANDOM NCI weights land in empty clusters
+            # and the fine stage would do no work; cidx_override drives
+            # the bucket stage with clusters sampled doc-weighted from
+            # the real (skewed) corpus distribution while qenc + beam
+            # still run in full
+            ids_i = jnp.asarray(
+                np.full((BATCH, QLEN), 1 + (i % 7), np.int32))
+            ci = cidx_all[host.integers(0, NDOC, size=g)].astype(np.int32)
+            ndoc_seen.append(
+                (offsets[ci + 1] - offsets[ci]).reshape(BATCH, NBEAM)
+                .sum(-1).mean())
+            ci = np.pad(ci, (0, g_pad - g))
+            batches.append((ids_i, mask, jnp.asarray(ci)))
     t0 = time.time()
     handles = [server.query_device(i, m, c) for i, m, c in batches]
     results = [server.finalize(h) for h in handles]
@@ -413,7 +421,11 @@ def run(NDOC, extras):
     qps = BATCH * NBATCH / dt_pipe
     log(f"{NBATCH} pipelined batches x {BATCH} queries in "
         f"{dt_pipe:.3f}s -> {qps:.1f} q/s/chip")
-    extras["ndoc_per_query"] = round(float(np.mean(ndoc_seen)), 1)
+    if ndoc_seen:
+        extras["ndoc_per_query"] = round(float(np.mean(ndoc_seen)), 1)
+    else:
+        extras["ndoc_per_query"] = round(
+            float(np.mean([r[4].mean() for r in results])), 1)
 
     t0 = time.time()
     for i, m, c in batches[:max(NBATCH // 2, 1)]:
@@ -421,6 +433,55 @@ def run(NDOC, extras):
     dt_seq = time.time() - t0
     extras["sequential_qps"] = round(
         BATCH * max(NBATCH // 2, 1) / dt_seq, 1)
+
+    # ---- measured reference-style baseline ------------------------------
+    # The reference serves eval_batch_size=2 with a cache-less beam
+    # (use_cache=False, generation_utils.py:763) and host-side ragged
+    # cluster lookups between coarse and fine (main_models.py:3915-).
+    # Closest honest stand-in on the SAME chip: batch 2, the panel
+    # (non-incremental) beam decoder, a host round-trip for the codes,
+    # then the jitted fine re-rank.  This measures the architecture the
+    # reference runs, on this hardware — vs_baseline is measured/measured.
+    try:
+        from mevi_tpu.decode.beam import nci_beam_search
+        B_REF = 2
+        ids2 = jnp.ones((B_REF, QLEN), jnp.int32)
+        mask2 = jnp.ones((B_REF, QLEN), jnp.int32)
+        qenc_jit2 = jax.jit(lambda p, i, m: qtower.apply(
+            {"params": p}, i, m, method=T5Model.first_token_rep))
+
+        def ref_serve_batch(ids_b, mask_b):
+            codes_b, _, _, _ = nci_beam_search(
+                nci, nci_params, ids_b, mask_b, NBEAM)
+            codes_h = np.asarray(codes_b)          # host hop (ref: dict
+            qe = qenc_jit2(q_params, ids_b, mask_b)  # lookups)
+            if not ckpt_dir:
+                codes_h = np.asarray(unpack_codes(
+                    cidx_all[host.integers(0, NDOC,
+                                           size=B_REF * NBEAM)]
+                    .astype(np.int64), M, KARY)) \
+                    .reshape(B_REF, NBEAM, M).astype(np.int32)
+            fs, fids, _ = fine_rerank(
+                qe, jnp.asarray(codes_h), fine.offsets, fine.doc_ids,
+                fine.sorted_emb, KARY, CAP, POOL)
+            return np.asarray(fids[:, :1])
+
+        ref_serve_batch(ids2, mask2)               # compile
+        n_ref = 6
+        t0 = time.perf_counter()
+        for _ in range(n_ref):
+            ref_serve_batch(ids2, mask2)
+        dt_ref = time.perf_counter() - t0
+        baseline_qps = B_REF * n_ref / dt_ref
+        extras["baseline_qps_measured"] = round(baseline_qps, 1)
+        extras["baseline_def"] = ("reference-style loop on same chip: "
+                                  "batch 2, cache-less panel beam, "
+                                  "host hop, jitted fine")
+        log(f"measured reference-style baseline: {baseline_qps:.1f} q/s")
+    except Exception as e:                         # pragma: no cover
+        log(f"baseline measurement failed: {e!r}")
+        baseline_qps = BASELINE_QPS_FALLBACK
+        extras["baseline_qps_measured"] = None
 
     # single small-batch latency (the reference profiles per-query
     # latency, faiss_search.py:32-68 / generate.py:247-280); best-effort
@@ -456,13 +517,14 @@ def run(NDOC, extras):
             nci, nci_params, batches[i % NBATCH][0], mask, NBEAM,
             level_tables=server.level_tables)[0]
 
-    _, _, _, _, q_rep0 = server._coarse(
+    _, _, _, cidx0, q_rep0 = server._coarse(
         server.q_params, server.nci_params, batches[0][0], mask,
         server.level_tables)
+    cidx_b = batches[0][2] if batches[0][2] is not None else cidx0
 
     def bucket_fn(i):
         return server._bucket(server.sorted_emb, server.offsets2d,
-                              batches[i % NBATCH][2], q_rep0, CAP)[0]
+                              cidx_b, q_rep0, CAP)[0]
 
     t_qenc = timed(qenc_fn)
     t_beam = timed(beam_fn)
@@ -471,35 +533,56 @@ def run(NDOC, extras):
              "beam_ms": round(t_beam * 1e3, 1),
              "bucket_ms": round(t_bucket * 1e3, 1),
              "rpc_floor_ms": extras["rpc_floor_ms"]}
-    # rough MFU vs the v5e bf16 peak (197 TFLOP/s)
+    # MFU: flops from XLA cost analysis of the compiled programs;
+    # device time from a jax.profiler.trace capture (works over the
+    # tunnel) — no hand-rolled FLOP constants
     if on_tpu:
-        R = BATCH * NBEAM
-        qenc_flop = 2 * 110e6 * BATCH * QLEN       # enc + 1-token dec
-        step_flop = 2 * (50e6 + 24e6) * R \
-            + 2 * 768 * 768 * 33 * R               # dec+pawa+head delta
-        dec_flop = (2 * 85e6 * BATCH * QLEN        # nci encoder
-                    + 2 * 6 * 2 * 768 * 768 * BATCH * QLEN  # cross k/v
-                    + step_flop * (1 / NBEAM + 4))  # step0 at B + 4 + EOS
-        peak = 197e12
-        stage["qenc_mfu_pct"] = round(
-            qenc_flop / max(t_qenc - t_rpc, 1e-9) / peak * 100, 1)
-        stage["beam_mfu_pct"] = round(
-            dec_flop / max(t_beam - t_rpc, 1e-9) / peak * 100, 1)
+        try:
+            from mevi_tpu.utils import profiling as P
+            fl_qenc = P.compiled_flops(qenc_jit, q_params,
+                                       batches[0][0], mask)
+            dt_qenc, _ = P.traced_stage_seconds(
+                lambda i: fetch1(qenc_fn(i)), n=3,
+                trace_dir="/tmp/mevi_trace_qenc")
+            dt_beam, beam_ops = P.traced_stage_seconds(
+                lambda i: fetch1(beam_fn(i)), n=3,
+                trace_dir="/tmp/mevi_trace_beam")
+            stage["qenc_device_ms"] = round(dt_qenc * 1e3, 1)
+            stage["beam_device_ms"] = round(dt_beam * 1e3, 1)
+            if fl_qenc:
+                stage["qenc_mfu_pct"] = round(
+                    fl_qenc / max(dt_qenc, 1e-9)
+                    / P.TPU_V5E_BF16_PEAK * 100, 1)
+            # the beam is several dispatches inside one jit fn; lower
+            # the whole jitted call for its flops
+            try:
+                fl_beam = P.compiled_flops(
+                    nci_beam_search_incremental, nci, nci_params,
+                    batches[0][0], mask, NBEAM,
+                    level_tables=server.level_tables)
+            except Exception:
+                fl_beam = None
+            if fl_beam:
+                stage["beam_mfu_pct"] = round(
+                    fl_beam / max(dt_beam, 1e-9)
+                    / P.TPU_V5E_BF16_PEAK * 100, 1)
+        except Exception as e:                     # pragma: no cover
+            log(f"trace-derived MFU skipped: {e!r}")
     extras["stages"] = stage
     log(f"stages: {stage}")
-    return qps
+    return qps, baseline_qps
 
 
 def main():
     NDOC = int(os.environ.get("BENCH_NDOC", 8_841_823))
     if os.environ.get("BENCH_CHILD"):
         extras = {}
-        qps = run(int(os.environ["BENCH_CHILD"]), extras)
+        qps, baseline_qps = run(int(os.environ["BENCH_CHILD"]), extras)
         emit_result({
             "metric": "serving_queries_per_sec_per_chip",
             "value": round(qps, 2),
             "unit": "queries/s/chip",
-            "vs_baseline": round(qps / BASELINE_QPS_PER_CHIP, 3),
+            "vs_baseline": round(qps / baseline_qps, 3),
             **extras,
         })
         return
@@ -512,7 +595,11 @@ def main():
     child_timeout = int(os.environ.get("BENCH_CHILD_TIMEOUT", 1500))
     # ladder: full scale in bf16; if HBM is short (pool degradation),
     # full scale in int8 (6.8 GB index); then smaller bf16 indexes
-    if os.environ.get("BENCH_DTYPE"):
+    if os.environ.get("BENCH_CKPT"):
+        attempts = [(NDOC, os.environ.get("BENCH_DTYPE", "bf16"))]
+        if not os.environ.get("BENCH_DTYPE"):
+            attempts.append((NDOC, "int8"))
+    elif os.environ.get("BENCH_DTYPE"):
         attempts = [(NDOC, os.environ["BENCH_DTYPE"]),
                     (NDOC // 2, os.environ["BENCH_DTYPE"])]
     else:

@@ -1071,6 +1071,11 @@ def _enable_compilation_cache():
 def main(argv=None):
     args = build_parser().parse_args(argv)
     _enable_compilation_cache()
+    if os.environ.get("MEVI_FORCE_CPU"):
+        # the axon TPU plugin pins jax_platforms in sitecustomize; the
+        # env var alone does not take — override via config (late)
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     return args.fn(args)
 
 

@@ -147,6 +147,7 @@ class EncoderConfig:
     num_heads: int = 12
     d_ff: int = 3072
     vocab_size: int = 30522
+    t5_vocab_size: int = 32128       # t5-family tokenizer vocab
     max_position_embeddings: int = 512
     type_vocab_size: int = 4         # ernie uses 4; bert 2
     dropout_rate: float = 0.1

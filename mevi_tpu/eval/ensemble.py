@@ -168,10 +168,43 @@ class AnswerIndex:
                        ranked_docs: Sequence[int]) -> Optional[int]:
         """First rank whose doc answers the query
         (``ensemble_nqdpr.py:26-33`` / ``main_models.py:4069-4071``)."""
-        for j, doc in enumerate(ranked_docs):
-            if doc >= 0 and self.doc_answers_query(int(doc), qind):
-                return j
-        return None
+        r = self.first_hit_ranks(np.asarray([qind]),
+                                 np.asarray(ranked_docs)[None, :])
+        return None if r[0] < 0 else int(r[0])
+
+    def _ensure_keys(self):
+        """Sorted (doc, query) composite keys: membership of any
+        (doc, q) pair becomes one global binary search — the whole
+        batch vectorizes as a single ``np.searchsorted``."""
+        if getattr(self, "_keys", None) is None:
+            doc_of = np.repeat(np.arange(len(self.offsets) - 1,
+                                         dtype=np.int64),
+                               np.diff(self.offsets))
+            self._stride = int(self.array.max()) + 2 \
+                if len(self.array) else 2
+            self._keys = np.sort(doc_of * self._stride + self.array)
+
+    def first_hit_ranks(self, qinds: np.ndarray,
+                        ranked_docs: np.ndarray) -> np.ndarray:
+        """Batched :meth:`first_hit_rank`: qinds (B,), ranked_docs
+        (B, P) with -1 padding -> (B,) first answering rank or -1.
+        One vectorized searchsorted over all (B*P) pairs replaces the
+        per-query per-rank python walk."""
+        self._ensure_keys()
+        ranked = np.asarray(ranked_docs)
+        qinds = np.asarray(qinds, np.int64)
+        valid = ranked >= 0
+        n_docs = len(self.offsets) - 1
+        doc = np.clip(ranked, 0, n_docs - 1).astype(np.int64)
+        k = doc * self._stride + qinds[:, None]
+        pos = np.searchsorted(self._keys, k)
+        in_range = pos < len(self._keys)
+        hit = np.zeros(ranked.shape, bool)
+        hit[in_range] = self._keys[pos[in_range]] == k[in_range]
+        hit &= valid
+        found = hit.any(axis=1)
+        first = hit.argmax(axis=1)
+        return np.where(found, first, -1)
 
 
 def nq_hit_metrics(

@@ -235,19 +235,22 @@ class Evaluator:
                 ndocs.append(res.ndoc)
             if keep_results:
                 results.append(res)
-            for b in range(real):
-                qind = int(query_indices[sl.start + b])
-                if q_clus_off is not None:
+            qind_b = np.asarray(query_indices[sl.start:sl.start + real],
+                                np.int64)
+            if q_clus_off is not None:
+                for b in range(real):
+                    qind = int(qind_b[b])
                     cidx = pack_codes(res.beam_codes[b],
                                       self.fine_index.kary)
                     mine = q_clus[q_clus_off[qind]:q_clus_off[qind + 1]]
                     isin = np.isin(cidx, mine)
                     hit = int(isin.argmax()) if isin.any() else -1
                     coarse_hits.append(hit)
-                if res.fine_ids is not None:
-                    rank = answer_index.first_hit_rank(
-                        qind, res.fine_ids[b])
-                    fine_hits.append(-1 if rank is None else rank)
+            if res.fine_ids is not None:
+                # batched first-hit (one searchsorted per batch replaces
+                # the per-query per-rank walk, main_models.py:4069-4071)
+                fine_hits.extend(answer_index.first_hit_ranks(
+                    qind_b, res.fine_ids[:real]).tolist())
 
         out = EvalOutputs(results=results if keep_results else None)
         ones = np.ones(n, np.int64)

@@ -54,14 +54,17 @@ def make_tower(family: str, dims=None) -> Tower:
 def tower_from_config(enc_cfg) -> Tower:
     """Tower built from an :class:`mevi_tpu.config.EncoderConfig`."""
     if enc_cfg.family == "t5":
+        dtype = (jnp.bfloat16 if getattr(enc_cfg, "dtype", "float32")
+                 == "bfloat16" else jnp.float32)
         dims = T5Dims(
             d_model=enc_cfg.d_model, num_layers=enc_cfg.num_layers,
             # T5-ANCE is a full t5-base: decoder depth == encoder depth
             num_decoder_layers=enc_cfg.num_layers,
             num_heads=enc_cfg.num_heads,
             d_kv=enc_cfg.d_model // enc_cfg.num_heads,
-            d_ff=enc_cfg.d_ff, vocab_size=32128,
-            dropout_rate=0.0)
+            d_ff=enc_cfg.d_ff,
+            vocab_size=getattr(enc_cfg, "t5_vocab_size", 32128),
+            dropout_rate=0.0, dtype=dtype)
         return Tower("t5", T5Model(dims), None)
     dims = BertDims(
         vocab_size=enc_cfg.vocab_size, d_model=enc_cfg.d_model,

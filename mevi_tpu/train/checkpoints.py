@@ -118,3 +118,30 @@ class CheckpointManager:
     def restore(self, tag: str, template: Any) -> Any:
         return self._ckptr.restore(osp.join(self.directory, tag),
                                    template)
+
+
+def save_params_npz(path: str, params) -> None:
+    """Flat npz snapshot of a flax params pytree ('/'-joined paths) —
+    a light-weight alternative to orbax for single-array-tree bundles
+    (tower params shipped with quality/bench bundles)."""
+    import jax
+    import numpy as np
+    flat = {}
+    for kp, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        key = "/".join(getattr(p, "key", str(p)) for p in kp)
+        flat[key] = np.asarray(leaf)
+    np.savez(path, **flat)
+
+
+def load_params_npz(path: str):
+    """Inverse of :func:`save_params_npz` (nested dict pytree)."""
+    import numpy as np
+    out = {}
+    with np.load(path) as z:
+        for key in z.files:
+            node = out
+            parts = key.split("/")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = z[key]
+    return out

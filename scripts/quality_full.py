@@ -1,0 +1,402 @@
+"""Full-configuration retrieval-quality run (round-3 north star).
+
+Drives the REAL framework surfaces end-to-end at the reference's full
+model configuration — T5-base NCI (12 enc / 6 dec, d=768, PAWA 4-layer
+adaptor), t5-base-shaped query tower, RQ 4x32 — on a synthetic corpus of
+millions of documents (``mevi_tpu/data/synth.py``; real MS MARCO is not
+downloadable in this environment), and captures trained coarse/fine
+retrieval quality through the serving path (``PallasServer``, beam 10):
+the regime the reference demonstrates with released checkpoints
+(coarse recall@100 = 0.886079, ``MEVI/marco_eval_nci_rq.sh:29``).
+
+Stages (idempotent; QF_STAGE=data|train|tower|eval|all):
+  data   synthesize corpus spec, RQ-fit codes on device, write train
+         utterance token memmaps + row-aligned codes (the `mevi train`
+         data contract), and a dev utterance set.
+  train  subprocess `python -m mevi_tpu.cli.main train --scan_steps N`
+         (the real CLI; checkpoints via orbax under the workdir).
+  tower  train the query tower (tokens -> embedding) contrastively
+         against the fixed document embeddings (in-batch negatives,
+         ``document_encoder.py:61-102`` semantics).
+  eval   build the CSR fine index in HBM, serve dev queries through
+         PallasServer with the TRAINED tower + NCI, report coarse
+         hit@{1,10}, fine recall@{1,10,100}, MRR@10, and the exact-MIPS
+         ceiling of the tower embeddings; writes QUALITY json.
+
+Env knobs: QF_WORKDIR, QF_NDOC, QF_UTT (utterances/doc), QF_EPOCHS,
+QF_BATCH, QF_SCAN, QF_TOWER_STEPS, QF_TINY=1 (CPU smoke geometry),
+QF_OUT (json path).
+"""
+
+import json
+import os
+import os.path as osp
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/mevi_jax_cache")
+
+REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def _maybe_force_cpu():
+    """QF_FORCE_CPU=1: the axon TPU plugin pins jax_platforms in
+    sitecustomize, so JAX_PLATFORMS=cpu alone does not take — override
+    via config after import (BENCH_FORCE_CPU pattern)."""
+    if os.environ.get("QF_FORCE_CPU"):
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        os.environ["MEVI_FORCE_CPU"] = "1"   # subprocess CLI stages
+
+
+def env_int(name, default):
+    return int(os.environ.get(name, default))
+
+
+def make_spec():
+    from mevi_tpu.data.synth import SynthSpec
+    if os.environ.get("QF_TINY"):
+        return SynthSpec(ndoc=env_int("QF_NDOC", 3000), d=32, kary=8,
+                         levels=3, pool_n=64, scales=(1.0, 0.4, 0.2),
+                         zipf=(1.0, 0.6, 0.3), eps=0.05, seed=5,
+                         qlen=16, n_filler_vocab=32)
+    return SynthSpec(ndoc=env_int("QF_NDOC", 1_000_000), seed=5)
+
+
+def model_cfg(spec, workdir):
+    """MEVIConfig at the reference's full size (T5-base NCI + PAWA-4,
+    ``MEVI/main.py:755-761``), bf16 compute; tiny variant for CPU."""
+    from mevi_tpu.config import (EncoderConfig, MEVIConfig, ModelConfig,
+                                 RQConfig, TrainConfig)
+    tiny = bool(os.environ.get("QF_TINY"))
+    if tiny:
+        m = ModelConfig(num_layers=2, num_decoder_layers=2, d_model=32,
+                        d_kv=8, d_ff=64, num_heads=4,
+                        adaptor_layer_num=1, adaptor_num_heads=4,
+                        dropout_rate=0.0, vocab_size=spec.vocab_size,
+                        kary=spec.kary,
+                        max_output_length=spec.levels + 2)
+        enc = EncoderConfig(family="t5", d_model=32, num_layers=2,
+                            num_heads=4, d_ff=64,
+                            t5_vocab_size=spec.vocab_size)
+    else:
+        m = ModelConfig(num_layers=12, num_decoder_layers=6, d_model=768,
+                        d_kv=64, d_ff=3072, num_heads=12,
+                        adaptor_layer_num=4, adaptor_num_heads=12,
+                        dropout_rate=0.0, vocab_size=spec.vocab_size,
+                        kary=spec.kary,
+                        max_output_length=spec.levels + 2,
+                        dtype="bfloat16")
+        enc = EncoderConfig(family="t5", d_model=768, num_layers=12,
+                            num_heads=12, d_ff=3072,
+                            t5_vocab_size=spec.vocab_size,
+                            dtype="bfloat16")
+    cfg = MEVIConfig(
+        rq=RQConfig(subvector_num=spec.levels,
+                    subvector_bits=int(np.log2(spec.kary)),
+                    emb_size=spec.d),
+        model=m, encoder=enc,
+        train=TrainConfig(
+            train_batch_size=env_int("QF_BATCH", 512 if not tiny else 16),
+            num_train_epochs=env_int("QF_EPOCHS", 8 if not tiny else 2),
+            learning_rate=2e-4, decoder_learning_rate=1e-4,
+            warmup_steps=1000 if not tiny else 4),
+        ckpt_dir=osp.join(workdir, "ckpts"))
+    cfg.finalize()
+    return cfg
+
+
+def stage_data(spec, workdir):
+    import jax.numpy as jnp
+    from mevi_tpu.data import io as dio
+    from mevi_tpu.data import synth
+
+    os.makedirs(workdir, exist_ok=True)
+    synth.save_spec(spec, osp.join(workdir, "spec.json"))
+    tab = synth.make_tables(spec)
+    tables = (jnp.asarray(tab[0]), jnp.asarray(tab[1]))
+    draws = synth.make_draws(spec)
+    t0 = time.time()
+    cbs, codes = synth.fit_rq_codes(spec, tables, draws)
+    log(f"RQ fit+assign: {time.time() - t0:.1f}s")
+    np.save(osp.join(workdir, "codebooks.npy"), cbs)
+    np.save(osp.join(workdir, "codes.npy"), codes)
+
+    U = env_int("QF_UTT", 4)
+    n_rows = spec.ndoc * U
+    host = np.random.default_rng(spec.seed + 21)
+    order = host.permutation(
+        np.repeat(np.arange(spec.ndoc, dtype=np.int64), U))
+    t0 = time.time()
+    # write token memmaps chunk-wise (the L1 contract:
+    # prepare_passage_tokenized.py:83-88 int64 (n, L) tokens+masks)
+    ids_p = osp.join(workdir, "trainq_tokens.bin")
+    mask_p = osp.join(workdir, "trainq_masks.bin")
+    ids_mm = np.memmap(ids_p, np.int64, "w+", shape=(n_rows, spec.qlen))
+    mask_mm = np.memmap(mask_p, np.int64, "w+",
+                        shape=(n_rows, spec.qlen))
+    CH = 1 << 19
+    for s in range(0, n_rows, CH):
+        e = min(n_rows, s + CH)
+        ids_mm[s:e] = synth.query_tokens(spec, draws[order[s:e]], host)
+        mask_mm[s:e] = 1
+    ids_mm.flush(); mask_mm.flush()
+    np.save(osp.join(workdir, "codes_rows.npy"), codes[order])
+    np.save(osp.join(workdir, "train_order.npy"), order)
+    log(f"train utterances {n_rows}: {time.time() - t0:.1f}s")
+
+    n_dev = env_int("QF_NDEV", 2048)
+    dev_docs = host.integers(0, spec.ndoc, n_dev)
+    dev_tok = synth.query_tokens(spec, draws[dev_docs],
+                                 np.random.default_rng(spec.seed + 99))
+    np.save(osp.join(workdir, "dev_docs.npy"), dev_docs)
+    np.save(osp.join(workdir, "dev_tokens.npy"), dev_tok)
+    log("data stage done")
+
+
+def stage_train(spec, workdir, cfg):
+    cfgp = osp.join(workdir, "cfg.json")
+    with open(cfgp, "w") as fw:
+        fw.write(cfg.to_json())
+    cmd = [sys.executable, "-m", "mevi_tpu.cli.main", "train",
+           "--config", cfgp,
+           "--queries", osp.join(workdir, "trainq"),
+           "--query_length", str(spec.qlen),
+           "--codes", osp.join(workdir, "codes_rows.npy"),
+           "--scan_steps", os.environ.get("QF_SCAN", "16"),
+           "--log_every", "512",
+           "--log_dir", workdir]
+    if os.environ.get("QF_RESUME"):
+        cmd += ["--resume", "best"]
+    log("train:", " ".join(cmd))
+    subprocess.run(cmd, check=True, cwd=REPO)
+
+
+def _tower(cfg):
+    from mevi_tpu.models.twin_tower import tower_from_config
+    return tower_from_config(cfg.encoder).module
+
+
+def stage_tower(spec, workdir, cfg):
+    """Query tower: tokens -> embedding, contrastive vs the fixed doc
+    embeddings (in-batch negatives).  Scan-chunked like the NCI CLI."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from functools import partial
+    from mevi_tpu.data import synth
+    from mevi_tpu.models.t5 import T5Model
+    from mevi_tpu.models.twin_tower import contrastive_loss
+    from mevi_tpu.train.checkpoints import save_params_npz
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    tab = synth.make_tables(spec)
+    tables = (jnp.asarray(tab[0]), jnp.asarray(tab[1]))
+    draws = synth.make_draws(spec)
+
+    tower = _tower(cfg)
+    B = env_int("QF_TOWER_BATCH", 256)
+    K = env_int("QF_TOWER_SCAN", 8)
+    steps = env_int("QF_TOWER_STEPS",
+                    8000 if not os.environ.get("QF_TINY") else 40)
+    params = tower.init(jax.random.PRNGKey(1),
+                        jnp.zeros((1, spec.qlen), jnp.int32),
+                        jnp.ones((1, spec.qlen), jnp.int32),
+                        jnp.zeros((1, 1), jnp.int32))["params"]
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, 3e-4, max(steps // 20, 1), steps, 1e-5)
+    opt = optax.chain(optax.clip_by_global_norm(1.0),
+                      optax.adamw(sched, weight_decay=0.01))
+    opt_state = opt.init(params)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def chunk(params, opt_state, toks, docs_draws):
+        def body(carry, xs):
+            params, opt_state = carry
+            tok, dr = xs
+            d_rep = synth.gen_rows(tables, dr)
+
+            def lf(p):
+                q = tower.apply({"params": p}, tok,
+                                jnp.ones_like(tok),
+                                method=T5Model.first_token_rep)
+                loss, _ = contrastive_loss(
+                    q.astype(jnp.float32) * 20.0,   # temperature
+                    d_rep.astype(jnp.float32))
+                return loss
+            loss, grads = jax.value_and_grad(lf)(params)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), (toks, docs_draws))
+        return params, opt_state, losses[-1]
+
+    host = np.random.default_rng(spec.seed + 31)
+    t0 = time.time()
+    loss = None
+    for it in range(0, steps, K):
+        docs = host.integers(0, spec.ndoc, (K, B))
+        toks = np.stack([synth.query_tokens(spec, draws[d], host)
+                         for d in docs])
+        params, opt_state, loss = chunk(
+            params, opt_state, jnp.asarray(toks),
+            jnp.asarray(draws[docs]))
+        if (it // K) % 20 == 0:
+            log(f"tower step {it + K}/{steps} loss {float(loss):.4f} "
+                f"({(it + K) * B / max(time.time() - t0, 1e-9):.0f} ex/s)")
+    log(f"tower trained: {time.time() - t0:.1f}s loss {float(loss):.4f}")
+    save_params_npz(osp.join(workdir, "tower_params.npz"), params)
+
+
+def _load_nci_params(workdir, cfg):
+    import orbax.checkpoint as ocp
+    from mevi_tpu.train.checkpoints import CheckpointManager
+    mgr = CheckpointManager(osp.join(cfg.ckpt_dir, "nci"),
+                            monitor="loss", mode="min")
+    tag = mgr.best_tag()
+    assert tag is not None, "no NCI checkpoint found"
+    path = osp.abspath(osp.join(cfg.ckpt_dir, "nci", tag))
+    restored = ocp.StandardCheckpointer().restore(path)
+    log(f"loaded NCI checkpoint {tag}")
+    return restored["params"]
+
+
+def stage_eval(spec, workdir, cfg, out_path):
+    import jax
+    import jax.numpy as jnp
+    from mevi_tpu.cli.main import _nci_dims
+    from mevi_tpu.data import synth
+    from mevi_tpu.eval.searcher import FineIndex
+    from mevi_tpu.models.nci import NCIT5
+    from mevi_tpu.serve import PallasServer
+    from mevi_tpu.train.checkpoints import load_params_npz
+    from mevi_tpu.utils.native import build_csr
+    from mevi_tpu.ops.mips import mips_topk
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    on_tpu = jax.devices()[0].platform != "cpu"
+    dt = jnp.bfloat16 if on_tpu else jnp.float32
+
+    nci = NCIT5(_nci_dims(cfg, dropout=0.0))
+    nci_params = _load_nci_params(workdir, cfg)
+    tower = _tower(cfg)
+    tower_params = load_params_npz(osp.join(workdir, "tower_params.npz"))
+
+    tab = synth.make_tables(spec)
+    tables = (jnp.asarray(tab[0]), jnp.asarray(tab[1]))
+    draws = synth.make_draws(spec)
+    codes = np.load(osp.join(workdir, "codes.npy"))
+    offsets, doc_ids = build_csr(codes, spec.kary)
+    CAP = env_int("QF_CAP", 512)
+    t0 = time.time()
+    semb = synth.fill_sorted_matrix(spec, tables, draws, doc_ids,
+                                    n_pad_rows=CAP + 8, dtype=dt)
+    fine = FineIndex(jnp.asarray(offsets.astype(np.int64)),
+                     jnp.asarray(doc_ids), semb, spec.levels, spec.kary,
+                     host_offsets=offsets, host_doc_ids=doc_ids)
+    log(f"fine index in HBM: {time.time() - t0:.1f}s")
+
+    cast = lambda t: jax.tree.map(
+        lambda x: x.astype(dt)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, t)
+    if on_tpu:
+        nci_params = cast(nci_params)
+        tower_params = cast(tower_params)
+    NBEAM = 10
+    POOL = env_int("QF_POOL", 1000)
+    server = PallasServer(tower, nci, tower_params, nci_params, fine,
+                          num_beams=NBEAM, cap=CAP, pool=POOL)
+
+    dev_docs = np.load(osp.join(workdir, "dev_docs.npy"))
+    dev_tok = np.load(osp.join(workdir, "dev_tokens.npy"))
+    n_dev = len(dev_docs)
+    B = min(env_int("QF_EVAL_BATCH", 256), n_dev)
+    n_use = (n_dev // B) * B
+    gt_codes = codes[dev_docs]
+
+    all_codes, all_ids, all_ndoc = [], [], []
+    t0 = time.time()
+    handles = []
+    for s in range(0, n_use, B):
+        ids = jnp.asarray(dev_tok[s:s + B].astype(np.int32))
+        handles.append(server.query_device(ids, jnp.ones_like(ids)))
+    for h in handles:
+        scores, ids_, codes_, bscores, ndoc = server.finalize(h)
+        all_codes.append(codes_); all_ids.append(ids_)
+        all_ndoc.append(ndoc)
+    dt_serve = time.time() - t0
+    beam_codes = np.concatenate(all_codes)      # (n, nb, M)
+    fine_ids = np.concatenate(all_ids)          # (n, pool)
+    ndoc = np.concatenate(all_ndoc)
+    gt = gt_codes[:n_use]
+    eq = (beam_codes == gt[:, None, :]).all(-1)         # (n, nb)
+    hit1 = float(eq[:, 0].mean())
+    hit10 = float(eq.any(1).mean())
+    pos = np.argmax(fine_ids == dev_docs[:n_use, None], axis=1)
+    found = (fine_ids == dev_docs[:n_use, None]).any(1)
+    rec = {k: float(((pos < k) & found).mean()) for k in (1, 10, 100)}
+    mrr10 = float(np.where(found & (pos < 10), 1.0 / (pos + 1), 0.0)
+                  .mean())
+
+    # tower-embedding exact-MIPS ceiling on a subsample
+    n_ceil = min(512, n_use)
+    q_rep = jax.jit(lambda p, i, m: tower.apply(
+        {"params": p}, i, m, method=type(tower).first_token_rep))(
+        tower_params, jnp.asarray(dev_tok[:n_ceil].astype(np.int32)),
+        jnp.ones((n_ceil, spec.qlen), jnp.int32))
+    _, rows = mips_topk(q_rep.astype(dt), semb, k=100)
+    ids_exact = doc_ids[np.clip(np.asarray(rows), 0, len(doc_ids) - 1)]
+    ceil100 = float((ids_exact == dev_docs[:n_ceil, None]).any(1).mean())
+
+    out = {
+        "config": "T5-base NCI (12+6, d=768, PAWA-4) + t5-base tower, "
+                  "RQ 4x32" if not os.environ.get("QF_TINY")
+                  else "tiny smoke",
+        "ndoc": spec.ndoc, "n_dev": n_use,
+        "coarse_hit@1": round(hit1, 4), "coarse_hit@10": round(hit10, 4),
+        "fine_recall@1": round(rec[1], 4),
+        "fine_recall@10": round(rec[10], 4),
+        "fine_recall@100": round(rec[100], 4),
+        "fine_mrr@10": round(mrr10, 4),
+        "tower_exact_mips_recall@100": round(ceil100, 4),
+        "ndoc_per_query": round(float(ndoc.mean()), 1),
+        "serve_s_for_n_dev": round(dt_serve, 2),
+        "beams": NBEAM, "cap": CAP, "pool": POOL,
+    }
+    with open(out_path, "w") as fw:
+        fw.write(json.dumps(out) + "\n")
+    print(json.dumps(out), flush=True)
+
+
+def main():
+    _maybe_force_cpu()
+    stage = os.environ.get("QF_STAGE", "all")
+    workdir = os.environ.get(
+        "QF_WORKDIR", osp.join(REPO, "data", "quality_r03"))
+    spec = make_spec()
+    cfg = model_cfg(spec, workdir)
+    out_path = os.environ.get("QF_OUT",
+                              osp.join(workdir, "QUALITY.json"))
+    if stage in ("all", "data"):
+        stage_data(spec, workdir)
+    if stage in ("all", "train"):
+        stage_train(spec, workdir, cfg)
+    if stage in ("all", "tower"):
+        stage_tower(spec, workdir, cfg)
+    if stage in ("all", "eval"):
+        stage_eval(spec, workdir, cfg, out_path)
+
+
+if __name__ == "__main__":
+    main()

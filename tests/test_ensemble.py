@@ -111,3 +111,23 @@ def test_nq_hit_metrics():
     assert m["hitrate"][1] == pytest.approx(0.5)
     assert m["hitrate"][2] == pytest.approx(1.0)
     assert m["mrr"][2] == pytest.approx((0.5 + 1.0) / 2)
+
+
+def test_first_hit_ranks_batched_matches_scalar(rng):
+    """Vectorized searchsorted first-hit == the per-rank python walk."""
+    n_docs, n_q = 50, 30
+    doc_answers = [sorted(set(rng.integers(0, n_q,
+                                           rng.integers(0, 5)).tolist()))
+                   for _ in range(n_docs)]
+    idx = E.AnswerIndex.from_answer_sets(doc_answers)
+    B, P = 16, 12
+    ranked = rng.integers(-1, n_docs, size=(B, P)).astype(np.int64)
+    qinds = rng.integers(0, n_q, size=B)
+    got = idx.first_hit_ranks(qinds, ranked)
+    for b in range(B):
+        want = None
+        for j, d in enumerate(ranked[b]):
+            if d >= 0 and int(qinds[b]) in doc_answers[int(d)]:
+                want = j
+                break
+        assert got[b] == (-1 if want is None else want), b
