@@ -32,7 +32,7 @@ import dataclasses
 import hashlib
 import json
 import os
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -118,28 +118,41 @@ def gen_rows(tables, draws):
 def fit_rq_codes(spec: SynthSpec, tables_dev, draws: np.ndarray,
                  cache_base: str = "/tmp/mevi_synth",
                  fit_sample: int = 500_000, iters: int = 8,
+                 codebooks: Optional[np.ndarray] = None,
                  ) -> Tuple[np.ndarray, np.ndarray]:
     """Fit RQ (levels x kary) on a sample and assign every doc; cached
     as npy under the spec's cache dir.  Returns (codebooks (M,K,d) f32
-    np, codes (ndoc, M) int32 np)."""
+    np, codes (ndoc, M) int32 np).
+
+    ``codebooks``: skip the fit and assign with these (serving a
+    trained bundle over a LARGER corpus of the same generative family —
+    codes must come from the codebooks the NCI was trained against).
+    """
     import jax
     import jax.numpy as jnp
     from ..ops import rq as rq_ops
     cdir = spec.cache_dir(cache_base)
+    if codebooks is not None:
+        import hashlib as _h
+        cdir += "_cb" + _h.sha1(
+            np.ascontiguousarray(codebooks)).hexdigest()[:8]
     os.makedirs(cdir, exist_ok=True)
     cbs_p = os.path.join(cdir, "codebooks.npy")
     codes_p = os.path.join(cdir, "codes.npy")
     if os.path.exists(cbs_p) and os.path.exists(codes_p):
         return np.load(cbs_p), np.load(codes_p)
-    fit_rng = np.random.default_rng(spec.seed + 7)
-    nfit = min(spec.ndoc, fit_sample)
-    sample = gen_rows(tables_dev, jnp.asarray(
-        draws[fit_rng.choice(spec.ndoc, size=nfit, replace=False)]))
-    cbs, _ = rq_ops.rq_train(sample, levels=spec.levels, kary=spec.kary,
-                             iters=iters,
-                             key=jax.random.PRNGKey(spec.seed + 11))
-    del sample
-    cbs = cbs.astype(jnp.float32)
+    if codebooks is not None:
+        cbs = jnp.asarray(codebooks, jnp.float32)
+    else:
+        fit_rng = np.random.default_rng(spec.seed + 7)
+        nfit = min(spec.ndoc, fit_sample)
+        sample = gen_rows(tables_dev, jnp.asarray(
+            draws[fit_rng.choice(spec.ndoc, size=nfit, replace=False)]))
+        cbs, _ = rq_ops.rq_train(sample, levels=spec.levels,
+                                 kary=spec.kary, iters=iters,
+                                 key=jax.random.PRNGKey(spec.seed + 11))
+        del sample
+        cbs = cbs.astype(jnp.float32)
 
     @jax.jit
     def gen_assign(tables, dr, cbs):

@@ -343,6 +343,14 @@ def stage_eval(spec, workdir, cfg, out_path):
     eq = (beam_codes == gt[:, None, :]).all(-1)         # (n, nb)
     hit1 = float(eq[:, 0].mean())
     hit10 = float(eq.any(1).mean())
+    # per-level diagnosis of the top beam (which RQ level limits hit@1:
+    # prefix_acc[l] = P(levels 0..l all correct in beam 0))
+    lvl_eq = (beam_codes[:, 0, :] == gt)                 # (n, M)
+    prefix = np.cumprod(lvl_eq, axis=1)
+    level_acc = [round(float(lvl_eq[:, l].mean()), 4)
+                 for l in range(gt.shape[1])]
+    prefix_acc = [round(float(prefix[:, l].mean()), 4)
+                  for l in range(gt.shape[1])]
     pos = np.argmax(fine_ids == dev_docs[:n_use, None], axis=1)
     found = (fine_ids == dev_docs[:n_use, None]).any(1)
     rec = {k: float(((pos < k) & found).mean()) for k in (1, 10, 100)}
@@ -373,6 +381,8 @@ def stage_eval(spec, workdir, cfg, out_path):
         "ndoc_per_query": round(float(ndoc.mean()), 1),
         "serve_s_for_n_dev": round(dt_serve, 2),
         "beams": NBEAM, "cap": CAP, "pool": POOL,
+        "top_beam_level_acc": level_acc,
+        "top_beam_prefix_acc": prefix_acc,
     }
     with open(out_path, "w") as fw:
         fw.write(json.dumps(out) + "\n")

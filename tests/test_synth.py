@@ -97,3 +97,28 @@ def test_rq_fit_cache_and_sorted_fill(tmp_path):
                                     q_scale=126.0)
     got = np.asarray(buf8[:64]).astype(np.float32)
     np.testing.assert_allclose(got, np.round(want * 126.0), atol=1.0)
+
+
+def test_fit_rq_codes_with_fixed_codebooks(tmp_path):
+    """Serving a bundle over a larger corpus: assignment with the
+    TRAINING codebooks (no refit) must agree with direct assignment."""
+    import jax.numpy as jnp
+    from mevi_tpu.ops import rq as rq_ops
+    spec = tiny_spec()
+    ctrs, pool = synth.make_tables(spec)
+    tables = (jnp.asarray(ctrs), jnp.asarray(pool))
+    draws = synth.make_draws(spec)
+    cbs, codes = synth.fit_rq_codes(spec, tables, draws,
+                                    cache_base=str(tmp_path / "a"),
+                                    fit_sample=500, iters=2)
+    import dataclasses
+    big = dataclasses.replace(spec, ndoc=spec.ndoc * 2)
+    draws_big = synth.make_draws(big)
+    cbs2, codes_big = synth.fit_rq_codes(
+        big, tables, draws_big, cache_base=str(tmp_path / "b"),
+        codebooks=cbs)
+    np.testing.assert_allclose(cbs2, cbs, rtol=1e-6)
+    want = np.asarray(rq_ops.assign(
+        synth.gen_rows(tables, jnp.asarray(draws_big[:500])),
+        jnp.asarray(cbs), "rq", "l2"))
+    np.testing.assert_array_equal(codes_big[:500], want)
