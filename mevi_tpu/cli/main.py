@@ -788,6 +788,17 @@ def cmd_eval(args):
         # the ~1/127 quantization noise)
         from ..index.build import quantize_int8
         emb, _ = quantize_int8(emb)
+    if args.host_stream:
+        # corpus stays HOST-resident; the fine stage streams bucket
+        # panels to the device (any corpus size — the NQ 21M regime)
+        from ..eval.searcher import FineIndex
+        from ..utils.native import build_csr
+        offsets, doc_ids = build_csr(codes, cfg.rq.kary)
+        fine = FineIndex(offsets, doc_ids,
+                         np.ascontiguousarray(emb[doc_ids]),
+                         codes.shape[-1], cfg.rq.kary,
+                         host_offsets=offsets, host_doc_ids=doc_ids)
+    elif args.corpus_int8:
         fine = build_fine_index(codes, emb, cfg.rq.kary)
     else:
         fine = build_fine_index(codes, emb, cfg.rq.kary,
@@ -826,7 +837,8 @@ def cmd_eval(args):
         max_cluster_docs=args.max_cluster_docs,
         eval_all_documents=bool(args.eval_all_documents))
     ev = Evaluator(model, params, icfg, fine_index=fine,
-                   query_rep_fn=rep_fn, doc_codes=codes)
+                   query_rep_fn=rep_fn, doc_codes=codes,
+                   host_stream=bool(args.host_stream))
     from ..utils.timers import profiler_trace
     with profiler_trace(args.profile_dir):
         if args.nq_answer_offsets:
@@ -1038,6 +1050,10 @@ def build_parser():
     sp.add_argument("--bf16", action="store_true")
     sp.add_argument("--corpus_int8", action="store_true",
                     help="int8-quantize the fine index (half memory)")
+    sp.add_argument("--host_stream", action="store_true",
+                    help="corpus stays host-resident; fine stage "
+                         "streams bucket panels to the device (any "
+                         "corpus size — the NQ 21M regime)")
     sp.add_argument("--eval_all_documents", action="store_true")
     sp.add_argument("--save_path", default=None)
     sp.add_argument("--profile_dir", default=None,

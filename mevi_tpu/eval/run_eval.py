@@ -65,22 +65,37 @@ class Evaluator:
     def __init__(self, model: NCIT5, params, cfg: InferConfig,
                  fine_index: Optional[FineIndex] = None,
                  query_rep_fn: Optional[Callable] = None,
-                 doc_codes: Optional[np.ndarray] = None):
+                 doc_codes: Optional[np.ndarray] = None,
+                 host_stream: bool = False):
         """query_rep_fn(ids, mask) -> (b, d) twin-tower query embedding
-        (the --query_encoder twin path used by the eval scripts)."""
+        (the --query_encoder twin path used by the eval scripts).
+
+        ``host_stream``: the fine index's ``sorted_emb`` is HOST-resident
+        (np array / memmap, any size) and the fine stage streams bucket
+        panels to the device — the reference's memmap->GPU default
+        (``main_models.py:3944-3991``); full scans stream the corpus
+        chunk-wise with double buffering."""
         self.model = model
         self.params = params
         self.cfg = cfg
         self.fine_index = fine_index
         self.query_rep_fn = query_rep_fn
         self.doc_codes = doc_codes
+        self.host_stream = host_stream
         # per-level head tables built once per params (in-call builds
         # relayout the big adaptor kernel every batch)
         import jax
         self._tables = jax.jit(lambda p: model.apply(
             {"params": p}, method=model.head_level_tables))(params)
         self._rerank = None
-        if fine_index is not None:
+        if fine_index is not None and host_stream:
+            from .streaming import HostStreamFineReranker
+            self._rerank = HostStreamFineReranker(
+                np.asarray(fine_index.sorted_emb),
+                fine_index.host_offsets, fine_index.host_doc_ids,
+                fine_index.kary, cfg.max_cluster_docs,
+                max(cfg.recall_num))
+        elif fine_index is not None:
             from .searcher import FineReranker
             self._rerank = FineReranker(fine_index, cfg.max_cluster_docs,
                                         max(cfg.recall_num),
@@ -116,14 +131,20 @@ class Evaluator:
         """eval_all_documents: exact MIPS over the whole corpus
         (``main_models.py:3818-3876``), using the cluster-sorted matrix
         with row->id mapping on host."""
-        from ..ops.mips import mips_topk
         fi = self.fine_index
         n_real = len(self._rerank.doc_ids_h)
-        s, rows = mips_topk(
-            jnp.asarray(qemb).astype(fi.sorted_emb.dtype),
-            fi.sorted_emb[:n_real] if fi.sorted_emb.shape[0] != n_real
-            else fi.sorted_emb,
-            k=max(self.cfg.recall_num))
+        if self.host_stream:
+            from .streaming import streaming_mips_topk
+            s, rows = streaming_mips_topk(
+                jnp.asarray(qemb), np.asarray(fi.sorted_emb)[:n_real],
+                k=max(self.cfg.recall_num))
+        else:
+            from ..ops.mips import mips_topk
+            s, rows = mips_topk(
+                jnp.asarray(qemb).astype(fi.sorted_emb.dtype),
+                fi.sorted_emb[:n_real]
+                if fi.sorted_emb.shape[0] != n_real else fi.sorted_emb,
+                k=max(self.cfg.recall_num))
         rows_h = np.asarray(rows)
         ids = np.where(rows_h >= 0,
                        self._rerank.doc_ids_h[np.clip(rows_h, 0, None)],

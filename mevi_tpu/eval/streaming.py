@@ -131,6 +131,9 @@ class HostStreamFineReranker:
         self.kary, self.cap, self.pool = kary, cap, pool
         self.sub_batch = sub_batch
         self.q_dt = query_dtype
+        # FineReranker-compatible attribute names (Evaluator contract)
+        self.offsets_h = self.offsets
+        self.doc_ids_h = self.doc_ids
 
     def __call__(self, query_emb, beam_codes):
         q_all = np.asarray(query_emb)

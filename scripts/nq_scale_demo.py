@@ -135,24 +135,26 @@ def stage_mesh(out):
 
 def stage_stream(out):
     """Full-d host-streaming on the current default backend."""
-    import jax
-    if os.environ.get("NQ_FORCE_CPU"):
-        jax.config.update("jax_platforms", "cpu")
-    import jax.numpy as jnp
     from mevi_tpu.data import synth
-    from mevi_tpu.eval.streaming import (HostStreamFineReranker,
-                                         streaming_mips_topk)
-    from mevi_tpu.utils.native import build_csr
 
-    on_tpu = jax.devices()[0].platform != "cpu"
+    prep_only = bool(os.environ.get("NQ_PREP_ONLY"))
+    if prep_only:
+        # host staging only: never touch jax (the chip may be claimed
+        # by a training run; even backend init would block on it)
+        on_tpu = True
+    else:
+        import jax
+        if os.environ.get("NQ_FORCE_CPU"):
+            jax.config.update("jax_platforms", "cpu")
+        on_tpu = jax.devices()[0].platform != "cpu"
     NDOC = int(os.environ.get("NQ_NDOC", NQ_NDOC_TRUE))
     if not on_tpu:
         NDOC = min(NDOC, 200_000)
-    D = 768 if on_tpu else 64
+    D = int(os.environ.get("NQ_D", 768 if on_tpu else 64))
     KARY, M, CAP, POOL = 32, 4, 512 if on_tpu else 64, 1000
     spec = synth.SynthSpec(ndoc=NDOC, d=D, kary=KARY, levels=M, seed=9)
-    log(f"stream stage: {NDOC} x {D} int8 on "
-        f"{jax.devices()[0].platform}")
+    log(f"stream stage: {NDOC} x {D} int8 "
+        f"({'prep-only' if prep_only else 'device run'})")
 
     cache = spec.cache_dir("/tmp/mevi_synth_nq")
     os.makedirs(cache, exist_ok=True)
@@ -178,6 +180,14 @@ def stage_stream(out):
     emb = np.memmap(mm_p, np.int8, "r", shape=(NDOC, D))
     log(f"int8 corpus memmap ready ({emb.nbytes/2**30:.1f} GiB, "
         f"{time.time()-t0:.1f}s)")
+    if prep_only:
+        # host-side staging only (run while the chip is busy elsewhere)
+        out["stream_prep_gib"] = round(emb.nbytes / 2 ** 30, 1)
+        return
+    import jax.numpy as jnp
+    from mevi_tpu.eval.streaming import (HostStreamFineReranker,
+                                         streaming_mips_topk)
+    from mevi_tpu.utils.native import build_csr
 
     # RQ codes from a device fit (cached) -> CSR over the HOST matrix
     tables_dev = (jnp.asarray(ctrs), jnp.asarray(pool_t))

@@ -201,6 +201,40 @@ def main():
     report("adaptor packed NEW (1 step)",
            timeit(adaptor_packed, A_param, h_t, seq_t))
 
+    if os.environ.get("TRACE"):
+        # trace-derived device-op breakdown (works over the tunnel):
+        # wall times above include the RPC floor; these do not
+        from mevi_tpu.utils import profiling as P
+        tables = jax.jit(
+            lambda p: apply_p(p, NCIT5.head_level_tables))(params)
+
+        def beam_fn(i):
+            fetch(nci_beam_search_incremental(
+                model, params, ids + (i % 2), mask, NB,
+                level_tables=tables))
+
+        def enc_fn(i):
+            fetch(enc_stage(params, ids + (i % 2), mask))
+
+        for name, fn, flop_fn in (
+                ("enc+kv", enc_fn,
+                 lambda: P.compiled_flops(enc_stage, params, ids, mask)),
+                ("beam", beam_fn,
+                 lambda: P.compiled_flops(
+                     nci_beam_search_incremental, model, params, ids,
+                     mask, NB, level_tables=tables))):
+            avg, per_op = P.traced_stage_seconds(
+                fn, n=3, trace_dir=f"/tmp/mevi_trace_{name}")
+            fl = flop_fn()
+            mfu = (fl / max(avg, 1e-9) / P.TPU_V5E_BF16_PEAK * 100
+                   if fl else float("nan"))
+            print(f"[trace] {name}: device {avg*1e3:.1f} ms, "
+                  f"flops {fl and fl/1e9:.1f} GF, MFU {mfu:.1f}%",
+                  flush=True)
+            top = sorted(per_op.items(), key=lambda kv: -kv[1])[:12]
+            for op, s in top:
+                print(f"    {s*1e3/3:7.2f} ms  {op[:90]}", flush=True)
+
 
 if __name__ == "__main__":
     main()

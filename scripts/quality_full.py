@@ -63,12 +63,20 @@ def env_int(name, default):
 
 def make_spec():
     from mevi_tpu.data.synth import SynthSpec
+    # info_dropout: with a fully-clean language the ints->code mapping
+    # is a factorized lookup the model drives to ~0 loss within 1k
+    # steps (measured); corrupting each info token to a filler with
+    # this probability makes queries genuinely ambiguous, so the beam
+    # must rank under uncertainty — the reference's 0.886-recall regime
+    # rather than a trivially-perfect one
+    noise = float(os.environ.get("QF_NOISE", 0.15))
     if os.environ.get("QF_TINY"):
         return SynthSpec(ndoc=env_int("QF_NDOC", 3000), d=32, kary=8,
                          levels=3, pool_n=64, scales=(1.0, 0.4, 0.2),
                          zipf=(1.0, 0.6, 0.3), eps=0.05, seed=5,
-                         qlen=16, n_filler_vocab=32)
-    return SynthSpec(ndoc=env_int("QF_NDOC", 1_000_000), seed=5)
+                         qlen=16, n_filler_vocab=32, info_dropout=noise)
+    return SynthSpec(ndoc=env_int("QF_NDOC", 1_000_000), seed=5,
+                     info_dropout=noise)
 
 
 def model_cfg(spec, workdir):
@@ -391,20 +399,22 @@ def stage_eval(spec, workdir, cfg, out_path):
 
 def main():
     _maybe_force_cpu()
-    stage = os.environ.get("QF_STAGE", "all")
+    stages = set(os.environ.get("QF_STAGE", "all").split(","))
+    if "all" in stages:
+        stages = {"data", "train", "tower", "eval"}
     workdir = os.environ.get(
         "QF_WORKDIR", osp.join(REPO, "data", "quality_r03"))
     spec = make_spec()
     cfg = model_cfg(spec, workdir)
     out_path = os.environ.get("QF_OUT",
                               osp.join(workdir, "QUALITY.json"))
-    if stage in ("all", "data"):
+    if "data" in stages:
         stage_data(spec, workdir)
-    if stage in ("all", "train"):
+    if "train" in stages:
         stage_train(spec, workdir, cfg)
-    if stage in ("all", "tower"):
+    if "tower" in stages:
         stage_tower(spec, workdir, cfg)
-    if stage in ("all", "eval"):
+    if "eval" in stages:
         stage_eval(spec, workdir, cfg, out_path)
 
 

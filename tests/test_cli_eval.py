@@ -96,3 +96,15 @@ def test_eval_cli_end_to_end(tmp_path, rng, capsys):
     preds, _, _ = io.parse_result_tsv(str(tmp_path / "result_fine.tsv"),
                                       {"query": 0, "pred": 2})
     assert len(preds) == 6
+
+    # --host_stream (corpus host-resident, bucket panels streamed to
+    # device — the NQ-21M capability path) must reproduce the metrics
+    main(["eval", "--config", cfgp, "--nci_ckpt", nci_dir,
+          "--tower_ckpt", tower_p, "--embeddings", embp,
+          "--codes", codesp, "--dev_tsv", dev,
+          "--num_return_sequences", "3", "--recall_num", "1,5,10",
+          "--batch_size", "4", "--host_stream",
+          "--allow_hash_tokenizer"])
+    report2 = json.loads(capsys.readouterr().out)
+    assert report2["fine"]["recall"] == report["fine"]["recall"]
+    assert report2["coarse"] == report["coarse"]
