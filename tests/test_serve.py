@@ -108,3 +108,25 @@ def test_pallas_server_int8_corpus(setup, rng):
     # top docs agree and dequantized scores are calibrated
     assert (idf[:, 0] == idq[:, 0]).mean() >= 0.75
     np.testing.assert_allclose(sq[valid], sf[valid], rtol=0.1, atol=0.05)
+
+
+def test_sharded_server_int8_corpus(setup, mesh8, rng):
+    """The NQ-scale serving mode: int8 corpus row-sharded over the
+    corpus axis — ranking must match the float sharded server."""
+    from mevi_tpu.index.build import quantize_int8
+    nci, qtower, nci_params, q_params, ids, mask, fine = setup
+    server = serve.make_sharded_server(qtower, nci, mesh8, num_beams=3,
+                                       cap=32, pool=20)
+    semb_f = shard_rows(np.asarray(fine.sorted_emb), mesh8)
+    s1, i1, c1, _ = server(q_params, nci_params, ids, mask,
+                           fine.offsets, fine.doc_ids, semb_f)
+    emb_q, _ = quantize_int8(np.asarray(fine.sorted_emb))
+    semb_q = shard_rows(emb_q, mesh8)
+    s2, i2, c2, _ = server(q_params, nci_params, ids, mask,
+                           fine.offsets, fine.doc_ids, semb_q)
+    assert (np.asarray(c1) == np.asarray(c2)).all()
+    i1h, i2h = np.asarray(i1), np.asarray(i2)
+    overlap = np.mean([
+        len(set(i1h[b][i1h[b] >= 0]) & set(i2h[b][i2h[b] >= 0]))
+        / max((i1h[b] >= 0).sum(), 1) for b in range(i1h.shape[0])])
+    assert overlap >= 0.85, overlap
