@@ -333,7 +333,7 @@ def stage_eval(spec, workdir, cfg, out_path):
     n_use = (n_dev // B) * B
     gt_codes = codes[dev_docs]
 
-    all_codes, all_ids, all_ndoc = [], [], []
+    all_codes, all_ids, all_ndoc, all_fs = [], [], [], []
     t0 = time.time()
     handles = []
     for s in range(0, n_use, B):
@@ -342,7 +342,7 @@ def stage_eval(spec, workdir, cfg, out_path):
     for h in handles:
         scores, ids_, codes_, bscores, ndoc = server.finalize(h)
         all_codes.append(codes_); all_ids.append(ids_)
-        all_ndoc.append(ndoc)
+        all_ndoc.append(ndoc); all_fs.append(scores)
     dt_serve = time.time() - t0
     beam_codes = np.concatenate(all_codes)      # (n, nb, M)
     fine_ids = np.concatenate(all_ids)          # (n, pool)
@@ -365,15 +365,40 @@ def stage_eval(spec, workdir, cfg, out_path):
     mrr10 = float(np.where(found & (pos < 10), 1.0 / (pos + 1), 0.0)
                   .mean())
 
-    # tower-embedding exact-MIPS ceiling on a subsample
-    n_ceil = min(512, n_use)
+    # tower-embedding exact-MIPS list (the 'ANN path' — replaces faiss
+    # HNSW, faiss_search.py:13-21) for the ceiling AND the ensemble
+    n_ceil = min(1024, n_use)
     q_rep = jax.jit(lambda p, i, m: tower.apply(
         {"params": p}, i, m, method=type(tower).first_token_rep))(
         tower_params, jnp.asarray(dev_tok[:n_ceil].astype(np.int32)),
         jnp.ones((n_ceil, spec.qlen), jnp.int32))
-    _, rows = mips_topk(q_rep.astype(dt), semb, k=100)
+    ann_s, rows = mips_topk(q_rep.astype(dt), semb, k=100)
     ids_exact = doc_ids[np.clip(np.asarray(rows), 0, len(doc_ids) - 1)]
+    ann_s = np.asarray(ann_s, np.float32)
     ceil100 = float((ids_exact == dev_docs[:n_ceil, None]).any(1).mean())
+
+    # ensemble fusion (ensemble_marco.py:221-240 semantics) of the ANN
+    # list with the coarse/fine MEVI lists, at the default a/b/g
+    from mevi_tpu.eval.ensemble import run_ensemble
+    qnames = [f"q{i}" for i in range(n_ceil)]
+    gts = {q: [int(dev_docs[i])] for i, q in enumerate(qnames)}
+    ance_preds = {q: ids_exact[i].tolist() for i, q in enumerate(qnames)}
+    ance_scores = {q: ann_s[i].tolist() for i, q in enumerate(qnames)}
+    coarse_clusters = {q: [tuple(c) for c in beam_codes[i]]
+                       for i, q in enumerate(qnames)}
+    fine_preds, fine_scores_m = {}, {}
+    fs_all = np.concatenate(all_fs)[:n_ceil]
+    for i, q in enumerate(qnames):
+        keep = fine_ids[i] >= 0
+        fine_preds[q] = fine_ids[i][keep][:100].tolist()
+        fine_scores_m[q] = fs_all[i][keep][:100].tolist()
+    mapping = {int(d): tuple(codes[int(d)])
+               for i in range(n_ceil)
+               for d in list(ids_exact[i]) + fine_preds[qnames[i]]}
+    ens = run_ensemble(gts, ance_preds, ance_scores, coarse_clusters,
+                       mapping, fine_preds, fine_scores_m,
+                       recall_ks=(10, 100))
+    ens_m = ens[(0.6, 0.03, 0.02)]
 
     out = {
         "config": "T5-base NCI (12+6, d=768, PAWA-4) + t5-base tower, "
@@ -386,6 +411,9 @@ def stage_eval(spec, workdir, cfg, out_path):
         "fine_recall@100": round(rec[100], 4),
         "fine_mrr@10": round(mrr10, 4),
         "tower_exact_mips_recall@100": round(ceil100, 4),
+        "ensemble_recall@10": round(ens_m["recall"][10], 4),
+        "ensemble_recall@100": round(ens_m["recall"][100], 4),
+        "ensemble_mrr@10": round(ens_m["mrr"][10], 4),
         "ndoc_per_query": round(float(ndoc.mean()), 1),
         "serve_s_for_n_dev": round(dt_serve, 2),
         "beams": NBEAM, "cap": CAP, "pool": POOL,
@@ -404,7 +432,14 @@ def main():
         stages = {"data", "train", "tower", "eval"}
     workdir = os.environ.get(
         "QF_WORKDIR", osp.join(REPO, "data", "quality_r03"))
-    spec = make_spec()
+    spec_p = osp.join(workdir, "spec.json")
+    if "data" not in stages and osp.exists(spec_p):
+        # resume stages against the STAGED corpus spec (env drift must
+        # not silently change the generative family mid-pipeline)
+        from mevi_tpu.data.synth import load_spec
+        spec = load_spec(spec_p)
+    else:
+        spec = make_spec()
     cfg = model_cfg(spec, workdir)
     out_path = os.environ.get("QF_OUT",
                               osp.join(workdir, "QUALITY.json"))
