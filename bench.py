@@ -584,7 +584,28 @@ def run(NDOC, extras):
     return qps, baseline_qps
 
 
+def _discover_bundle():
+    """Default BENCH_CKPT to the checked-in quality bundle when it has
+    trained artifacts (the headline should serve the TRAINED pipeline —
+    the beam's own codes — whenever one exists).  Opt out with
+    BENCH_CKPT=''."""
+    if "BENCH_CKPT" in os.environ:
+        return os.environ["BENCH_CKPT"] or None
+    cand = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "data", "quality_r03")
+    need = [os.path.join(cand, "spec.json"),
+            os.path.join(cand, "tower_params.npz"),
+            os.path.join(cand, "ckpts", "nci", "leaderboard.json")]
+    if all(os.path.exists(p) for p in need):
+        os.environ["BENCH_CKPT"] = cand
+        return cand
+    return None
+
+
 def main():
+    bundle = _discover_bundle()
+    if bundle:
+        log(f"trained bundle: {bundle}")
     NDOC = int(os.environ.get("BENCH_NDOC", 8_841_823))
     if os.environ.get("BENCH_CHILD"):
         extras = {}
