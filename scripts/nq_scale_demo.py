@@ -260,12 +260,18 @@ def stage_stream(out):
 
 def main():
     stage = os.environ.get("NQ_STAGE", "all")
+    out_p = os.environ.get("NQ_OUT", osp.join(REPO, "NQSCALE_r03.json"))
     out = {"metric": "nq_scale_demo", "ndoc_true": NQ_NDOC_TRUE}
+    if osp.exists(out_p):        # single-stage runs keep earlier keys
+        try:
+            with open(out_p) as fr:
+                out.update(json.load(fr))
+        except Exception:
+            pass
     if stage in ("all", "mesh"):
         stage_mesh(out)
     if stage in ("all", "stream"):
         stage_stream(out)
-    out_p = os.environ.get("NQ_OUT", osp.join(REPO, "NQSCALE_r03.json"))
     with open(out_p, "w") as fw:
         fw.write(json.dumps(out) + "\n")
     print(json.dumps(out), flush=True)
