@@ -223,10 +223,23 @@ def run(NDOC, extras):
     t0 = time.time()
     offsets, doc_ids = build_csr(codes, KARY)
     if corpus_int8:
-        # symmetric global-scale quantization; unit-norm rows keep all
-        # components well inside the sampled max
-        s_max = float(jnp.max(jnp.abs(synth.gen_rows(
-            tables, jnp.asarray(draws[:min(NDOC, 1 << 16)])))))
+        # symmetric global-scale quantization from the TRUE global max
+        # (one scanned device pass over every row), matching
+        # index/build.py:quantize_int8 — a sampled max can clip rows
+        # whose components exceed it (advisor r3 finding)
+        CHM = 1 << 18
+        n_ch = (NDOC + CHM - 1) // CHM
+        pad = n_ch * CHM - NDOC
+        draws_dev = jnp.concatenate(
+            [jnp.asarray(draws),
+             jnp.tile(jnp.asarray(draws[:1]), (pad, 1))])
+        def _chunk_max(c, dr):
+            return jnp.maximum(
+                c, jnp.max(jnp.abs(synth.gen_rows(tables, dr)))), None
+        s_max = float(jax.jit(
+            lambda dp: jax.lax.scan(
+                _chunk_max, jnp.float32(0),
+                dp.reshape(n_ch, CHM, dp.shape[1]))[0])(draws_dev))
         Q_SCALE = 126.0 / s_max
         extras["int8_scale"] = round(Q_SCALE, 3)
         dt_corp = jnp.int8
@@ -584,21 +597,32 @@ def run(NDOC, extras):
     return qps, baseline_qps
 
 
-def _discover_bundle():
-    """Default BENCH_CKPT to the checked-in quality bundle when it has
-    trained artifacts (the headline should serve the TRAINED pipeline —
-    the beam's own codes — whenever one exists).  Opt out with
-    BENCH_CKPT=''."""
-    if "BENCH_CKPT" in os.environ:
-        return os.environ["BENCH_CKPT"] or None
-    cand = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "data", "quality_r03")
+def _bundle_complete(cand):
+    """A quality workdir is servable iff ALL trained artifacts exist:
+    corpus spec + trained tower + at least one ranked NCI checkpoint.
+    (Round 3 shipped a bundle missing tower_params.npz and the bench
+    silently fell back to the untrained pipeline — never again.)"""
     need = [os.path.join(cand, "spec.json"),
             os.path.join(cand, "tower_params.npz"),
             os.path.join(cand, "ckpts", "nci", "leaderboard.json")]
-    if all(os.path.exists(p) for p in need):
-        os.environ["BENCH_CKPT"] = cand
-        return cand
+    return all(os.path.exists(p) for p in need)
+
+
+def _discover_bundle(base=None):
+    """Default BENCH_CKPT to the newest complete checked-in quality
+    bundle (data/quality_*) so the headline serves the TRAINED
+    pipeline — the beam's own codes — whenever one exists.  Opt out
+    with BENCH_CKPT=''."""
+    if "BENCH_CKPT" in os.environ:
+        return os.environ["BENCH_CKPT"] or None
+    import glob as _glob
+    base = base or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "data")
+    for cand in sorted(_glob.glob(os.path.join(base, "quality_*")),
+                       reverse=True):
+        if _bundle_complete(cand):
+            os.environ["BENCH_CKPT"] = cand
+            return cand
     return None
 
 

@@ -480,7 +480,17 @@ def cmd_train(args):
     rng = np.random.default_rng(cfg.train.seed)
     bs = cfg.train.train_batch_size
     steps_per_epoch = max(len(ds) // bs, 1)
-    total = steps_per_epoch * cfg.train.num_train_epochs
+    scan_k = max(int(getattr(args, "scan_steps", 1) or 1), 1)
+    scan_k = min(scan_k, steps_per_epoch)   # an epoch must yield >=1 group
+    # _grouped drops each epoch's final partial group (a shorter group
+    # would retrace the scan program) — size the LR schedule over the
+    # steps actually taken and surface the drop (advisor r3 finding)
+    eff_per_epoch = (steps_per_epoch // scan_k) * scan_k
+    total = eff_per_epoch * cfg.train.num_train_epochs
+    if eff_per_epoch != steps_per_epoch:
+        print(f"scan_steps={scan_k}: dropping "
+              f"{steps_per_epoch - eff_per_epoch} trailing batches per "
+              f"epoch; schedule sized for {total} steps")
 
     params = model.init(
         jax.random.PRNGKey(cfg.train.seed),
@@ -490,8 +500,6 @@ def cmd_train(args):
     opt = T.make_optimizer(cfg.train, params, total_steps=total)
     state = T.init_state(params, opt)
     step_cfg = T.NCIStepConfig(rdrop=m.rdrop, rdrop_loss=m.rdrop_loss)
-    scan_k = max(int(getattr(args, "scan_steps", 1) or 1), 1)
-    scan_k = min(scan_k, steps_per_epoch)   # an epoch must yield >=1 group
     if scan_k > 1:
         chunk = T.make_nci_train_chunk(model, opt, step_cfg)
     else:

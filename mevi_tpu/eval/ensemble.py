@@ -172,16 +172,22 @@ class AnswerIndex:
                                  np.asarray(ranked_docs)[None, :])
         return None if r[0] < 0 else int(r[0])
 
-    def _ensure_keys(self):
+    def _ensure_keys(self, min_stride: int):
         """Sorted (doc, query) composite keys: membership of any
         (doc, q) pair becomes one global binary search — the whole
-        batch vectorizes as a single ``np.searchsorted``."""
-        if getattr(self, "_keys", None) is None:
+        batch vectorizes as a single ``np.searchsorted``.  The stride
+        must exceed every query index that will ever be probed (not
+        just those present in the array), else a probe with
+        qind >= stride aliases into the next doc's key range and
+        reports a false hit — so callers pass the probe-side maximum
+        and keys are rebuilt when it grows."""
+        stride = max(int(self.array.max()) + 2 if len(self.array) else 2,
+                     min_stride)
+        if getattr(self, "_keys", None) is None or self._stride < stride:
             doc_of = np.repeat(np.arange(len(self.offsets) - 1,
                                          dtype=np.int64),
                                np.diff(self.offsets))
-            self._stride = int(self.array.max()) + 2 \
-                if len(self.array) else 2
+            self._stride = stride
             self._keys = np.sort(doc_of * self._stride + self.array)
 
     def first_hit_ranks(self, qinds: np.ndarray,
@@ -190,9 +196,9 @@ class AnswerIndex:
         (B, P) with -1 padding -> (B,) first answering rank or -1.
         One vectorized searchsorted over all (B*P) pairs replaces the
         per-query per-rank python walk."""
-        self._ensure_keys()
         ranked = np.asarray(ranked_docs)
         qinds = np.asarray(qinds, np.int64)
+        self._ensure_keys(int(qinds.max()) + 2 if qinds.size else 2)
         valid = ranked >= 0
         n_docs = len(self.offsets) - 1
         doc = np.clip(ranked, 0, n_docs - 1).astype(np.int64)

@@ -66,6 +66,13 @@ def device_op_seconds(trace_dir: str) -> Tuple[float, Dict[str, float]]:
             pnames[e["pid"]] = e["args"].get("name", "")
         if e.get("ph") == "M" and e.get("name") == "thread_name":
             tnames[(e["pid"], e.get("tid"))] = e["args"].get("name", "")
+    # Real TPU traces carry several lanes per TensorCore process:
+    # 'XLA Ops' (per-op events), 'XLA Modules' (whole-module spans that
+    # DUPLICATE the op time), 'Steps', etc.  Counting any lane of the
+    # process double-counts device time and halves reported MFU, so
+    # prefer the op lane exclusively and only fall back to the bare
+    # TensorCore process when no 'XLA Ops' thread exists in the capture.
+    has_op_lane = any("XLA Ops" in tn for tn in tnames.values())
     per_op: Dict[str, float] = {}
     total = 0.0
     for e in events:
@@ -73,11 +80,11 @@ def device_op_seconds(trace_dir: str) -> Tuple[float, Dict[str, float]]:
             continue
         pn = pnames.get(e.get("pid"), "")
         tn = tnames.get((e.get("pid"), e.get("tid")), "")
-        lane = f"{pn}/{tn}"
-        if not ("TensorCore" in lane or "XLA Ops" in tn
-                or "Steps" == tn):
-            continue
-        if "Steps" == tn:        # step lane duplicates the op lane
+        if has_op_lane:
+            if "XLA Ops" not in tn:
+                continue
+        elif not ("TensorCore" in pn and tn != "Steps"
+                  and "Modules" not in tn):
             continue
         dur = float(e.get("dur", 0.0)) * 1e-6
         total += dur

@@ -20,6 +20,7 @@ Writes one JSON line (NQSCALE artifact).  Env: NQ_STAGE=mesh|stream|all,
 NQ_NDOC (default 21015324), NQ_OUT, NQ_FORCE_CPU=1.
 """
 
+import glob
 import json
 import os
 import os.path as osp
@@ -57,7 +58,11 @@ def stage_mesh(out):
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     NDOC = int(os.environ.get("NQ_NDOC", NQ_NDOC_TRUE))
-    D, KARY, M, QLEN, NBEAM, CAP, POOL = 64, 32, 4, 32, 10, 256, 100
+    # d=64 keeps the 8-host-device footprint ~1.3 GiB; NQ_MESH_D=768
+    # runs the true byte volume (15 GiB int8 sharded) when host RAM
+    # allows — either way the artifact records mesh_d
+    D = int(os.environ.get("NQ_MESH_D", 64))
+    KARY, M, QLEN, NBEAM, CAP, POOL = 32, 4, 32, 10, 256, 100
     mesh = make_mesh(8, corpus=4)          # data=2 x corpus=4
     log(f"mesh {dict(mesh.shape)} over {len(jax.devices())} devices")
 
@@ -79,9 +84,10 @@ def stage_mesh(out):
 
     t0 = time.time()
     offsets, doc_ids = build_csr(codes, KARY)
-    # CSR permutation applied lazily per shard slice to avoid a second
-    # 1.3 GB host copy
+    # eager CSR permutation: one extra NDOC x D int8 host copy (~1.3 GB
+    # at d=64); the original rows are freed right after
     sorted_emb = emb[doc_ids]
+    del emb
     log(f"CSR build + permute: {time.time()-t0:.1f}s")
 
     t0 = time.time()
@@ -95,9 +101,13 @@ def stage_mesh(out):
     s_sh, i_sh = sharded_mips_topk(q_dev, emb_sh, k=POOL, mesh=mesh)
     s_sh, i_sh = np.asarray(s_sh), np.asarray(i_sh)
     dt_mips = time.time() - t0
-    # verify one query against a host oracle
-    ids_sorted = np.arange(len(sorted_emb))
-    sc0 = (q[0:1].astype(np.float32) @ sorted_emb.astype(np.float32).T)[0]
+    # verify one query against a host oracle, chunk-wise: a full
+    # float32 materialization of the 21M x D matrix would be a ~5.4 GiB
+    # host temp (advisor r3 finding)
+    sc0 = np.empty(len(sorted_emb), np.float32)
+    for s in range(0, len(sorted_emb), CH):
+        e = min(len(sorted_emb), s + CH)
+        sc0[s:e] = q[0] @ sorted_emb[s:e].astype(np.float32).T
     want = np.sort(np.argsort(-sc0)[:POOL])
     got = np.sort(i_sh[0])
     assert (got == want).mean() > 0.99, "sharded MIPS mismatch"
@@ -129,6 +139,7 @@ def stage_mesh(out):
     out["mesh_server_rows"] = int(NDOC)
     out["mesh_server_batch_s"] = round(time.time() - t0, 2)
     out["mesh_shape"] = dict(mesh.shape)
+    out["mesh_d"] = int(D)   # byte volume caveat: d=64 unless NQ_MESH_D
     log(f"sharded server one batch at {NDOC} rows: "
         f"{out['mesh_server_batch_s']}s")
 
@@ -259,19 +270,46 @@ def stage_stream(out):
 
 
 def main():
+    """Each stage writes its keys to its OWN sidecar file
+    (data/nqscale_stages/<stage>.json); the combined artifact is
+    re-merged from ALL sidecars every run, so a prep-only or
+    single-stage re-run can never clobber another stage's captured
+    numbers (round-3 lesson: a driver re-run replaced the committed
+    mesh keys with prep-only content)."""
     stage = os.environ.get("NQ_STAGE", "all")
-    out_p = os.environ.get("NQ_OUT", osp.join(REPO, "NQSCALE_r03.json"))
+    out_p = os.environ.get("NQ_OUT", osp.join(REPO, "NQSCALE_r04.json"))
+    side_dir = os.environ.get(
+        "NQ_STAGE_DIR", osp.join(REPO, "data", "nqscale_stages"))
+    os.makedirs(side_dir, exist_ok=True)
+
+    def run(name, fn):
+        keys = {}
+        fn(keys)
+        if keys:                 # prep-only stream runs stay partial:
+            side_p = osp.join(side_dir, f"{name}.json")
+            prior = {}
+            if osp.exists(side_p):
+                try:
+                    with open(side_p) as fr:
+                        prior = json.load(fr)
+                except Exception:
+                    prior = {}
+            prior.update(keys)   # accumulate within the stage too
+            with open(side_p, "w") as fw:
+                fw.write(json.dumps(prior) + "\n")
+
+    if stage in ("all", "mesh"):
+        run("mesh", stage_mesh)
+    if stage in ("all", "stream"):
+        run("stream", stage_stream)
+
     out = {"metric": "nq_scale_demo", "ndoc_true": NQ_NDOC_TRUE}
-    if osp.exists(out_p):        # single-stage runs keep earlier keys
+    for p in sorted(glob.glob(osp.join(side_dir, "*.json"))):
         try:
-            with open(out_p) as fr:
+            with open(p) as fr:
                 out.update(json.load(fr))
         except Exception:
             pass
-    if stage in ("all", "mesh"):
-        stage_mesh(out)
-    if stage in ("all", "stream"):
-        stage_stream(out)
     with open(out_p, "w") as fw:
         fw.write(json.dumps(out) + "\n")
     print(json.dumps(out), flush=True)

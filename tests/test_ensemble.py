@@ -113,6 +113,20 @@ def test_nq_hit_metrics():
     assert m["mrr"][2] == pytest.approx((0.5 + 1.0) / 2)
 
 
+def test_first_hit_ranks_query_index_beyond_array_max():
+    """A probe query index larger than any index stored in the answer
+    array must NOT alias into the next doc's composite-key range
+    (advisor round-3 medium finding)."""
+    idx = E.AnswerIndex.from_answer_sets([[0], [1]])
+    got = idx.first_hit_ranks(np.asarray([4]), np.asarray([[0, 1]]))
+    assert got[0] == -1
+    # and the scalar path that delegates here
+    assert idx.first_hit_rank(4, [0, 1]) is None
+    # keys rebuild on stride growth without breaking true hits
+    assert idx.first_hit_ranks(np.asarray([1]),
+                               np.asarray([[0, 1]]))[0] == 1
+
+
 def test_first_hit_ranks_batched_matches_scalar(rng):
     """Vectorized searchsorted first-hit == the per-rank python walk."""
     n_docs, n_q = 50, 30
