@@ -507,8 +507,35 @@ def cmd_train(args):
 
     logger = MetricsLogger(args.log_dir or cfg.ckpt_dir,
                            run_name("nci", cfg))
-    ckpts = CheckpointManager(osp.join(cfg.ckpt_dir, "nci"),
-                              keep=2, monitor="loss", mode="min")
+    # between-epoch dev-recall probe: checkpoints rank on retrieval,
+    # not train loss (the reference's recall-monitored ModelCheckpoint,
+    # main.py:89-170 — loss-ranked 'best' is not best for the beam)
+    dev_probe = None
+    if getattr(args, "dev_queries", None) and \
+            getattr(args, "dev_codes", None):
+        from ..decode.beam import nci_beam_search
+        dev_tok = np.load(args.dev_queries).astype(np.int32)
+        dev_gt = np.load(args.dev_codes).astype(np.int32)
+        pb = min(int(args.dev_batch), len(dev_tok))
+        n_probe = (len(dev_tok) // pb) * pb
+        probe_model = NCIT5(_nci_dims(cfg, dropout=0.0))
+        probe_k = 10
+
+        def dev_probe(params):
+            hits = 0
+            for s in range(0, n_probe, pb):
+                ids = jnp.asarray(dev_tok[s:s + pb])
+                bc, _, _, _ = nci_beam_search(
+                    probe_model, params, ids, jnp.ones_like(ids),
+                    probe_k)
+                eq = (np.asarray(bc)
+                      == dev_gt[s:s + pb, None, :]).all(-1)
+                hits += int(eq.any(1).sum())
+            return hits / max(n_probe, 1)
+    ckpts = CheckpointManager(
+        osp.join(cfg.ckpt_dir, "nci"), keep=2,
+        monitor="dev_hit10" if dev_probe else "loss",
+        mode="max" if dev_probe else "min")
     key = jax.random.PRNGKey(cfg.train.seed)
     start_epoch = 0
     if args.resume:
@@ -555,12 +582,20 @@ def cmd_train(args):
                     logger.log({k: float(v) for k, v in metrics.items()},
                                gstep)
         loss = float(metrics["loss"])
-        print(f"epoch {epoch}: loss {loss:.4f}")
+        metric = loss
+        if dev_probe is not None:
+            hit10 = dev_probe(state.params)
+            metric = hit10
+            print(f"epoch {epoch}: loss {loss:.4f} "
+                  f"dev coarse hit@10 {hit10:.4f}")
+            logger.log({"dev_hit10": hit10}, gstep)
+        else:
+            print(f"epoch {epoch}: loss {loss:.4f}")
         ckpts.save(f"epoch{epoch}",
                    {"params": state.params, "opt_state": state.opt_state,
                     "step": state.step,
                     "epoch": np.asarray(epoch, np.int32)},
-                   metric=loss)
+                   metric=metric)
         if args.max_epochs and epoch + 1 >= args.max_epochs:
             break
     logger.close()
@@ -1008,6 +1043,13 @@ def build_parser():
                          "amortizes the RPC floor on tunneled TPUs")
     sp.add_argument("--resume", default=None,
                     help="'best' or a checkpoint tag")
+    sp.add_argument("--dev_queries", default=None,
+                    help="npy (n, qlen) dev query tokens: enables the "
+                         "between-epoch coarse-hit@10 probe and ranks "
+                         "checkpoints on it (mode=max) instead of loss")
+    sp.add_argument("--dev_codes", default=None,
+                    help="npy (n, M) gt RQ codes for --dev_queries")
+    sp.add_argument("--dev_batch", type=int, default=256)
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("train-joint")

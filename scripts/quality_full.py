@@ -167,6 +167,9 @@ def stage_data(spec, workdir):
                                  np.random.default_rng(spec.seed + 99))
     np.save(osp.join(workdir, "dev_docs.npy"), dev_docs)
     np.save(osp.join(workdir, "dev_tokens.npy"), dev_tok)
+    # gt codes for the between-epoch dev probe (checkpoints rank on
+    # coarse hit@10, not train loss)
+    np.save(osp.join(workdir, "dev_codes.npy"), codes[dev_docs])
     log("data stage done")
 
 
@@ -182,6 +185,10 @@ def stage_train(spec, workdir, cfg):
            "--scan_steps", os.environ.get("QF_SCAN", "16"),
            "--log_every", "512",
            "--log_dir", workdir]
+    dev_codes = osp.join(workdir, "dev_codes.npy")
+    if osp.exists(dev_codes):
+        cmd += ["--dev_queries", osp.join(workdir, "dev_tokens.npy"),
+                "--dev_codes", dev_codes]
     if os.environ.get("QF_RESUME"):
         cmd += ["--resume", "best"]
     log("train:", " ".join(cmd))
