@@ -649,8 +649,11 @@ def main():
     import subprocess
     fallback_from = None
     child_timeout = int(os.environ.get("BENCH_CHILD_TIMEOUT", 1500))
-    # ladder: full scale in bf16; if HBM is short (pool degradation),
-    # full scale in int8 (6.8 GB index); then smaller bf16 indexes
+    # ladder: full scale in int8 FIRST — the only full-corpus
+    # single-chip mode (8.84M bf16 is 13.6 GB of index and has OOM'd on
+    # every capture; leading with it burned a child + 20 s claim-recycle
+    # per driver run) — then full bf16 as a stretch rung, then smaller
+    # bf16 indexes
     if os.environ.get("BENCH_CKPT"):
         with open(os.path.join(os.environ["BENCH_CKPT"],
                                "spec.json")) as fr:
@@ -659,14 +662,13 @@ def main():
             attempts = [(NDOC, os.environ["BENCH_DTYPE"]),
                         (spec_ndoc, os.environ["BENCH_DTYPE"])]
         else:
-            attempts = [(NDOC, "bf16"), (NDOC, "int8"),
-                        (spec_ndoc, "bf16")]
+            attempts = [(NDOC, "int8"), (spec_ndoc, "bf16")]
     elif os.environ.get("BENCH_DTYPE"):
         attempts = [(NDOC, os.environ["BENCH_DTYPE"]),
                     (NDOC // 2, os.environ["BENCH_DTYPE"])]
     else:
-        attempts = [(NDOC, "bf16"), (NDOC, "int8"),
-                    (NDOC // 2, "bf16"), (1_000_000, "bf16")]
+        attempts = [(NDOC, "int8"), (NDOC // 2, "bf16"),
+                    (1_000_000, "bf16")]
     for ndoc_try, dtype_try in attempts:
         env = dict(os.environ, BENCH_CHILD=str(ndoc_try),
                    BENCH_DTYPE=dtype_try)
