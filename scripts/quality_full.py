@@ -244,10 +244,23 @@ def stage_tower(spec, workdir, cfg):
                 q = tower.apply({"params": p}, tok,
                                 jnp.ones_like(tok),
                                 method=T5Model.first_token_rep)
-                loss, _ = contrastive_loss(
-                    q.astype(jnp.float32) * 20.0,   # temperature
-                    d_rep.astype(jnp.float32))
-                return loss
+                qf = q.astype(jnp.float32)
+                df = d_rep.astype(jnp.float32)
+                loss, _ = contrastive_loss(qf * 20.0,   # temperature
+                                           df)
+                # direct alignment: the target doc embedding is known
+                # exactly (synthetic corpus), and in-batch softmax over
+                # a few hundred negatives is far weaker supervision —
+                # round-3's contrastive-only tower plateaued at
+                # exact-MIPS recall@100 = 0.15.  Docs are unit-norm, so
+                # cosine-aligning q is exactly the MIPS objective.
+                qn = qf / (jnp.linalg.norm(qf, axis=-1, keepdims=True)
+                           + 1e-6)
+                dn = df / (jnp.linalg.norm(df, axis=-1, keepdims=True)
+                           + 1e-6)
+                align = jnp.mean(1.0 - jnp.sum(qn * dn, -1))
+                w = float(os.environ.get("QF_TOWER_ALIGN", 4.0))
+                return loss + w * align
             loss, grads = jax.value_and_grad(lf)(params)
             updates, opt_state = opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
@@ -259,7 +272,20 @@ def stage_tower(spec, workdir, cfg):
     host = np.random.default_rng(spec.seed + 31)
     t0 = time.time()
     loss = None
-    for it in range(0, steps, K):
+    part = osp.join(workdir, "tower_params.partial.npz")
+    save_every = env_int("QF_TOWER_SAVE_EVERY", 4000)
+    start = 0
+    if os.environ.get("QF_TOWER_RESUME") and osp.exists(part):
+        # mid-run restart after a tunnel stall: params only (fresh
+        # optimizer state; the cosine schedule restarts — acceptable
+        # for a probe-quality tower)
+        from mevi_tpu.train.checkpoints import load_params_npz
+        meta = np.load(part + ".step.npy") if \
+            osp.exists(part + ".step.npy") else np.asarray(0)
+        params = jax.device_put(load_params_npz(part))
+        start = int(meta)
+        log(f"tower resumed from step {start}")
+    for it in range(start, steps, K):
         docs = host.integers(0, spec.ndoc, (K, B))
         toks = np.stack([synth.query_tokens(spec, draws[d], host)
                          for d in docs])
@@ -269,6 +295,10 @@ def stage_tower(spec, workdir, cfg):
         if (it // K) % 20 == 0:
             log(f"tower step {it + K}/{steps} loss {float(loss):.4f} "
                 f"({(it + K) * B / max(time.time() - t0, 1e-9):.0f} ex/s)")
+        if save_every and (it // K) % max(save_every // K, 1) == 0 \
+                and it > start:
+            save_params_npz(part, params)
+            np.save(part + ".step.npy", np.asarray(it + K))
     log(f"tower trained: {time.time() - t0:.1f}s loss {float(loss):.4f}")
     save_params_npz(osp.join(workdir, "tower_params.npz"), params)
 
