@@ -648,7 +648,10 @@ def main():
     # always re-OOM (observed with the 8.84M -> 4.4M -> 1M ladder)
     import subprocess
     fallback_from = None
-    child_timeout = int(os.environ.get("BENCH_CHILD_TIMEOUT", 1500))
+    # generous default: a chip-claim recycle after a previous process
+    # can block a child's first dispatch for 20+ minutes on tunneled
+    # deployments, and that wait counts against the watchdog
+    child_timeout = int(os.environ.get("BENCH_CHILD_TIMEOUT", 3000))
     # ladder: full scale in int8 FIRST — the only full-corpus
     # single-chip mode (8.84M bf16 is 13.6 GB of index and has OOM'd on
     # every capture; leading with it burned a child + 20 s claim-recycle
