@@ -129,6 +129,14 @@ def nci_beam_search(
     return codes, norm, enc_hidden, dec_hidden
 
 
+def _prefix_index(code_hist, p: int, K: int):
+    """Base-K integer index of each row's code prefix (c0..c_{p-1})."""
+    pidx = code_hist[:, 0].astype(jnp.int32)
+    for j in range(1, p):
+        pidx = pidx * K + code_hist[:, j]
+    return pidx
+
+
 @partial(jax.jit, static_argnames=("model", "num_beams", "length_penalty"))
 def nci_beam_search_incremental(
     model: NCIT5,
@@ -138,14 +146,21 @@ def nci_beam_search_incremental(
     num_beams: int,
     length_penalty: float = 0.8,
     level_tables=None,
+    pawa_tables=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """KV-cached beam decode: each step runs ONE token through the
     decoder and PAWA (the panel variant recomputes all L positions —
-    ~L x more decode FLOPs).  Caches are beam-reordered by row gather.
+    ~L x more decode FLOPs).  Caches are per-position entry lists,
+    beam-reordered by row gather (only live positions move).
 
     ``level_tables``: optional precomputed ``head_level_tables()``
     output — a serving loop should build it ONCE per params (the
     in-call build relayouts the 229 MB adaptor kernel every batch).
+    ``pawa_tables``: optional ``pawa_prefix_tables()`` output — PAWA
+    is query-independent, so for early levels its net run AND its
+    (rows, dm) x (dm, dm*(K+1)) delta matmul collapse to per-prefix
+    row gathers; the net then runs only at t = M-1 and the EOS step,
+    with its cache rebuilt from the per-prefix KV tables.
 
     Returns (codes (b, nbeam, M), normalized scores (b, nbeam),
     enc_hidden) — identical ordering/scores to :func:`nci_beam_search`.
@@ -154,6 +169,7 @@ def nci_beam_search_incremental(
     K, M, L = dims.kary, dims.code_len, dims.max_output_length
     B = input_ids.shape[0]
     nb = num_beams
+    use_tables = pawa_tables is not None and dims.use_pawa
 
     def apply(method, *args, **kw):
         return model.apply({"params": params}, *args, method=method, **kw)
@@ -172,19 +188,15 @@ def nci_beam_search_incremental(
     if A_lvl is None:                       # use_pawa=False: unused dummy
         A_lvl = jnp.zeros((L, 1, 1), W_lvl.dtype)
 
-    def gather_dec(cache, rows):
-        """Beam-reorder a time-major ((L, b, h, dk)) KV cache."""
-        return jax.tree.map(lambda x: x[:, rows], cache)
-
     # step 0 at B rows: every beam of a query shares the start-token
     # prefix, so running the panel at B*nb rows would compute each
     # query's step nb times; top-nb of the K step-0 logits IS the beam
     # update (original semantics: beam 0 alive at 0.0, others at -1e9)
-    dec_cache, pawa_cache, pawa_mem = apply(NCIT5.init_decode_state, B)
-    logits0, dec_cache, pawa_cache = apply(
-        NCIT5.decode_logits_step, jnp.zeros((B, 1), jnp.int32),
-        jnp.int32(0), dec_cache, pawa_cache, cross_kvs, pawa_mem,
-        mem_mask, beams=1, level_tables=(W_lvl[0], A_lvl[0]))
+    logits0, dec_e0, pawa_e0 = apply(
+        NCIT5.decode_logits_step_unrolled, jnp.zeros((B, 1), jnp.int32),
+        0, [], [], cross_kvs, mem_mask, beams=1,
+        level_tables=(W_lvl[0], A_lvl[0]),
+        delta_slab=pawa_tables["delta0"] if use_tables else None)
     logp0 = jax.nn.log_softmax(logits0.astype(jnp.float32), -1)
     # exact original flat top-k (beam 0 at 0.0, others -1e9): with
     # nb > K the tail beams are the same dead (-1e9) hypotheses the
@@ -193,21 +205,51 @@ def nci_beam_search_incremental(
     flat0 = (init0[None, :, None] + logp0[:, None, :K]).reshape(B, nb * K)
     beam_scores, pos0 = jax.lax.top_k(flat0, nb)            # (B, nb)
     code0 = (pos0 % K).astype(jnp.int32)
-    rows0 = jnp.repeat(jnp.arange(B), nb)                   # expand x nb
-    dec_cache = gather_dec(dec_cache, rows0)
-    pawa_cache = (None if pawa_cache is None
-                  else gather_dec(pawa_cache, rows0))
     code_hist = jnp.zeros((B * nb, M), jnp.int32
                           ).at[:, 0].set(code0.reshape(-1))
     cur_tok = code0.reshape(-1, 1).astype(jnp.int32) + 2
+    # position-0 cache entries stay at B rows (decoder: per-query,
+    # beam-shared) / 1 row (PAWA is query-independent and the start
+    # token is universal) — broadcast in-attention, NEVER beam-reordered
+    dec_entries = [dec_e0]
+    if use_tables:
+        pawa_entries = None          # rebuilt by gather at live steps
+        skip_levels = set(pawa_tables["T"])
+    else:
+        pawa_entries = None if pawa_e0 is None else [pawa_e0[:, :, :1]]
+        skip_levels = set()
 
-    def step(carry, xs):
-        t, W_t, A_t = xs
-        cur_tok, code_hist, beam_scores, dec_cache, pawa_cache = carry
-        logits, dec_cache, pawa_cache = apply(
-            NCIT5.decode_logits_step, cur_tok, t, dec_cache, pawa_cache,
-            cross_kvs, pawa_mem, mem_mask, beams=nb,
-            level_tables=(W_t, A_t))
+    def rebuild_pawa(t, extra=None):
+        """Cache entries for positions 0..t-1 from the per-prefix KV
+        tables (current code_hist), plus the live entry ``extra``."""
+        ents = [pawa_tables["e0"]]
+        top = t - 1 if extra is not None else t
+        for p in range(1, top):
+            g = pawa_tables["KV"][p][_prefix_index(code_hist, p, K)]
+            ents.append(jnp.transpose(g, (1, 2, 0, 3, 4)))
+        if extra is not None:
+            ents.append(extra)
+        return ents
+
+    pawa_live = None                 # reordered net entry at t = M-1
+    # python loop, static t per step: each step's shapes/tables are
+    # baked in, entry lists hold only live positions (the scan variant
+    # moved full (max_len, ...) buffers through every reorder)
+    for t in range(1, M):
+        skip = t in skip_levels and t < M - 1
+        if skip:
+            slab = pawa_tables["T"][t][_prefix_index(code_hist, t, K)]
+            logits, dec_e, pawa_e = apply(
+                NCIT5.decode_logits_step_unrolled, cur_tok, t,
+                dec_entries, None, cross_kvs, mem_mask, beams=nb,
+                level_tables=(W_lvl[t], A_lvl[t]), delta_slab=slab)
+        else:
+            if use_tables:
+                pawa_entries = rebuild_pawa(t)
+            logits, dec_e, pawa_e = apply(
+                NCIT5.decode_logits_step_unrolled, cur_tok, t,
+                dec_entries, pawa_entries, cross_kvs, mem_mask,
+                beams=nb, level_tables=(W_lvl[t], A_lvl[t]))
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
         code_lp = logp[:, :K].reshape(B, nb, K)
         flat = (beam_scores[:, :, None] + code_lp).reshape(B, nb * K)
@@ -217,25 +259,27 @@ def nci_beam_search_incremental(
         rows = (jnp.arange(B)[:, None] * nb + beam_idx).reshape(-1)
         code_hist = code_hist[rows]
         code_hist = code_hist.at[:, t].set(code.reshape(-1))
-        dec_cache = gather_dec(dec_cache, rows)
-        pawa_cache = (None if pawa_cache is None
-                      else gather_dec(pawa_cache, rows))
+        dec_entries = ([dec_entries[0]]
+                       + [e[:, :, rows] for e in dec_entries[1:]]
+                       + [dec_e[:, :, rows]])
+        if use_tables:
+            if pawa_e is not None:
+                pawa_live = pawa_e[:, :, rows]
+        elif pawa_entries is not None:
+            pawa_entries = ([pawa_entries[0]]
+                            + [e[:, :, rows] for e in pawa_entries[1:]]
+                            + [pawa_e[:, :, rows]])
         cur_tok = (code.reshape(-1, 1) + t * K + 2)
-        return (cur_tok, code_hist, beam_scores, dec_cache,
-                pawa_cache), None
-
-    carry = (cur_tok, code_hist, beam_scores, dec_cache, pawa_cache)
-    # M-1 is tiny (3 at the serving config): unrolling removes the scan
-    # loop machinery and lets XLA schedule across steps
-    carry, _ = jax.lax.scan(step, carry,
-                            (jnp.arange(1, M), W_lvl[1:M], A_lvl[1:M]),
-                            unroll=True)
-    cur_tok, code_hist, beam_scores, dec_cache, pawa_cache = carry
 
     # final step: EOS log-prob at position M
+    if use_tables:
+        # positions 1..M-2 regathered at the post-reorder prefixes;
+        # M-1 is the (reordered) live entry from the net run above
+        pawa_entries = rebuild_pawa(M, extra=pawa_live) if M > 1 \
+            else rebuild_pawa(M)
     logits, _, _ = apply(
-        NCIT5.decode_logits_step, cur_tok, jnp.int32(M), dec_cache,
-        pawa_cache, cross_kvs, pawa_mem, mem_mask, beams=nb,
+        NCIT5.decode_logits_step_unrolled, cur_tok, M, dec_entries,
+        pawa_entries, cross_kvs, mem_mask, beams=nb,
         level_tables=(W_lvl[M], A_lvl[M]))
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
     eos_lp = logp[:, K].reshape(B, nb)

@@ -205,6 +205,76 @@ class NCIT5(nn.Module):
                 for t in range(L)])
         return W_lvl, A_lvl
 
+    def pawa_prefix_tables(self, level_tables=None,
+                           max_entries: int = 1 << 17):
+        """Per-prefix PAWA tables for the serving beam.
+
+        PAWA's input is ONLY the decode-token embeddings — no encoder
+        state — so its hidden at position t is a pure function of the
+        code prefix (c0..c_{t-1}).  For every level t with K^t <=
+        ``max_entries`` entries (t <= M-2 — the net must still run at
+        t = M-1 to seed the EOS step's cache entry), precompute:
+
+          T[t]  (K^t, dm*(K+1)): the logits-delta slab H_t @ A_t — the
+                 per-step (rows, dm) x (dm, dm*(K+1)) adaptor matmul
+                 becomes a row gather;
+          KV[p] (K^p, num_layers, 2, h, dk): the cache entry the net
+                 WOULD have written at position p, so the net can be
+                 skipped entirely at early steps and the cache
+                 reconstructed by gather before the first live step.
+
+        Plus ``delta0`` (dm*(K+1),) and ``e0`` (num_layers, 2, 1, h,
+        dk) for the universal start-token position.  Costs one K^t-row
+        panel run + one (K^t, dm) x (dm, dm*(K+1)) matmul per level,
+        once per params (~50 ms at serving config).
+        """
+        d = self.dims
+        assert d.use_pawa
+        K, M = d.kary, d.code_len
+        dm = d.t5.d_model
+        if level_tables is None:
+            _, A_lvl = self.head_level_tables()
+        else:
+            _, A_lvl = level_tables
+        # only levels t <= M-2 are skippable (the net must run at
+        # t = M-1 to write the cache entry the EOS step attends)
+        max_level = 0
+        while (max_level < M - 2
+               and K ** (max_level + 1) <= max_entries):
+            max_level += 1
+        t_top = max_level
+        # all K^t_top prefixes: tokens [start, tok0(c0), ..].  Lower
+        # levels reuse this panel (their rows are the c_rest = 0 slice).
+        n = K ** t_top
+        idx = jnp.arange(n, dtype=jnp.int32)
+        if t_top:
+            codes = jnp.stack(
+                [(idx // (K ** (t_top - 1 - lvl))) % K
+                 for lvl in range(t_top)], axis=1)         # (n, t_top)
+            toks = codes_to_tokens(codes, K)
+        else:
+            toks = jnp.zeros((n, 0), jnp.int32)
+        seqs = jnp.concatenate(
+            [jnp.zeros((n, 1), jnp.int32), toks], axis=1)  # (n, t_top+1)
+        h_all, kvs = self.pawa.panel_with_kvs(
+            self.decode_embeddings(seqs))
+        # (num_layers, 2, n, l, h, dk) -> per position p tables
+        out = {"T": {}, "KV": {}}
+        for t in range(1, t_top + 1):
+            rows = (jnp.arange(K ** t) * (K ** (t_top - t))
+                    if t < t_top else None)
+            H_t = h_all[:, t] if rows is None else h_all[rows, t]
+            out["T"][t] = (H_t @ A_lvl[t]) if A_lvl is not None else None
+            kv_p = kvs[:, :, :, t]         # (L, 2, n, h, dk)
+            if rows is not None:
+                kv_p = kv_p[:, :, rows]
+            # gather layout: (K^t, num_layers, 2, h, dk)
+            out["KV"][t] = jnp.transpose(kv_p, (2, 0, 1, 3, 4))
+        out["delta0"] = (h_all[:1, 0] @ A_lvl[0])[0] \
+            if A_lvl is not None else None
+        out["e0"] = kvs[:, :, :1, 0]       # (num_layers, 2, 1, h, dk)
+        return out
+
     def project_cross_kvs(self, memory):
         """Per-layer decoder cross-attention (k, v), computed once per
         query and reused across decode steps/beams (the reference
@@ -348,6 +418,51 @@ class NCIT5(nn.Module):
                                           jnp.zeros((1,))]),
                          jnp.zeros((K + 1,)))
         return logits + last[None], dec_cache, pawa_cache
+
+    def decode_logits_step_unrolled(self, tok_t, t: int, dec_entries,
+                                    pawa_entries, cross_kvs,
+                                    memory_mask=None, beams: int = 1,
+                                    level_tables=None,
+                                    delta_slab=None):
+        """Statically-unrolled single-token decode (python-int ``t``).
+
+        Caches are per-position entry LISTS (see
+        ``T5Stack.decode_step_unrolled``) — only live positions are
+        stored, attended and beam-reordered.  ``delta_slab``: optional
+        precomputed PAWA logits-delta rows — (b, dm*(K+1)) gathered
+        from :meth:`pawa_prefix_tables`, or (dm*(K+1),) for the
+        universal position 0; when given, the PAWA net and its
+        (rows, dm) x (dm, dm*(K+1)) matmul are skipped for this step.
+        Returns (compact logits (b, kary+1), new dec entry, new pawa
+        entry (or None)).
+        """
+        d = self.dims
+        K = d.kary
+        L = d.max_output_length
+        dm = d.t5.d_model
+        embed_t = self.decode_embeddings(tok_t)
+        hidden_t, dec_e = self.decoder.decode_step_unrolled(
+            embed_t, t, dec_entries, cross_kvs, extend_mask(memory_mask),
+            beams=beams)
+        seq_t = hidden_t[:, 0, :] * (d.t5.d_model ** -0.5)
+        h_t, pawa_e = None, None
+        if d.use_pawa and delta_slab is None:
+            h_t, pawa_e = self.pawa.decode_step_unrolled(
+                embed_t, t, pawa_entries)
+            h_t = h_t[:, 0, :]
+        logits = self._level_logits(seq_t, h_t, jnp.int32(t),
+                                    level_tables)
+        if delta_slab is not None:
+            if delta_slab.ndim == 1:       # universal start position
+                logits = logits + seq_t @ delta_slab.reshape(dm, K + 1) \
+                    .astype(seq_t.dtype)
+            else:
+                tmp = delta_slab.reshape(-1, dm, K + 1).astype(seq_t.dtype)
+                logits = logits + jnp.einsum("bdk,bd->bk", tmp, seq_t)
+        if t == L - 1:         # static: final position only allows EOS
+            logits = logits + jnp.concatenate(
+                [jnp.full((K,), NEG), jnp.zeros((1,))])[None]
+        return logits, dec_e, pawa_e
 
     def __call__(self, input_ids, attention_mask, decoder_input_ids,
                  deterministic=True):

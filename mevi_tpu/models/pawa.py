@@ -140,6 +140,47 @@ class TorchDecoderLayer(nn.Module):
         x = self.norm2(x + ca)
         return self._ff(x, deterministic)
 
+    def decode_step_unrolled(self, x_t, t: int, entries_i, mem_const):
+        """Statically-unrolled step: ``t`` is a python int; the cache
+        is a per-position list of ``(2, rows, h, dk)`` for THIS layer.
+        PAWA is query-independent, so the position-0 (start-token)
+        entry may have rows == 1 and broadcasts over the whole beam
+        batch.  Returns (out (b, 1, d), new entry (2, b, h, dk))."""
+        d = self.dims
+        b = x_t.shape[0]
+        dk = d.d_model // d.num_heads
+        q, k_t, v_t = self.self_attn.project_qkv(x_t)   # (b, h, 1, dk)
+        k_t2, v_t2 = k_t[:, :, 0], v_t[:, :, 0]
+        q2 = q[:, :, 0]
+        parts = []
+        for p in range(t):
+            kp = entries_i[p][0]
+            if kp.shape[0] != b:
+                qb = q2.reshape(kp.shape[0], -1, *q2.shape[1:])
+                parts.append(jnp.einsum("Bnhd,Bhd->Bnh", qb,
+                                        kp).reshape(b, -1))
+            else:
+                parts.append(jnp.einsum("bhd,bhd->bh", q2, kp))
+        parts.append(jnp.einsum("bhd,bhd->bh", q2, k_t2))
+        scores = (jnp.stack(parts, axis=-1)
+                  / jnp.sqrt(jnp.float32(dk)).astype(q.dtype)
+                  ).astype(jnp.float32)
+        probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+        ctx = probs[..., t, None] * v_t2
+        for p in range(t):
+            vp = entries_i[p][1]
+            if vp.shape[0] != b:
+                pb = probs[..., p].reshape(vp.shape[0], -1,
+                                           probs.shape[1])
+                ctx = ctx + jnp.einsum("Bnh,Bhd->Bnhd", pb,
+                                       vp).reshape(b, *vp.shape[1:])
+            else:
+                ctx = ctx + probs[..., p, None] * vp
+        sa = self.self_attn.out_proj(ctx.reshape(b, 1, d.d_model))
+        x = self.norm1(x_t + sa)
+        x = self.norm2(x + mem_const)
+        return self._ff(x, True), jnp.stack([k_t2, v_t2])
+
     def decode_step(self, x_t, t, cache_kv, mem_const):
         """Incremental step: x_t (b, 1, d); cache_kv (k, v) of shape
         (max_len, b, h, dk) — time-major so the per-step write is a
@@ -197,6 +238,32 @@ class PawaAdaptor(nn.Module):
             x = layer(x, memory, mask, deterministic=deterministic)
         return x
 
+    def panel_with_kvs(self, tgt_embeds):
+        """Panel forward that ALSO returns every layer's self-attn k/v
+        (what the decode path caches): (h_all (b, l, d), kvs
+        (num_layers, 2, b, l, h, dk)).  Used to precompute per-prefix
+        cache tables (PAWA sees only the decode tokens, so its entire
+        state is a function of the code prefix)."""
+        d = self.dims
+        b, l, _ = tgt_embeds.shape
+        h = d.num_heads
+        dk = d.d_model // h
+        mask = jnp.where(
+            jnp.tril(jnp.ones((l, l), bool)), 0.0, -jnp.inf
+        ).astype(tgt_embeds.dtype)[None, None]
+        memory = jnp.broadcast_to(
+            self.memory_embedding.astype(tgt_embeds.dtype),
+            (b, 1, d.d_model))
+        x = tgt_embeds
+        kvs = []
+        for layer in self.layers:
+            _, k, v = layer.self_attn.project_qkv(x)   # (b, h, l, dk)
+            kvs.append(jnp.stack([k.transpose(0, 2, 1, 3),
+                                  v.transpose(0, 2, 1, 3)]))
+            x = layer(x, memory, mask, deterministic=True)
+        # (num_layers, 2, b, l, h, dk)
+        return x, jnp.stack(kvs)
+
     # -- incremental decoding ---------------------------------------------
 
     def precompute_mem_kvs(self, batch: int, dtype=None):
@@ -232,3 +299,18 @@ class PawaAdaptor(nn.Module):
             x, nkv = layer.decode_step(x, t, ckv, mkv)
             new_cache.append(nkv)
         return x, new_cache
+
+    def decode_step_unrolled(self, embed_t, t: int, entries,
+                             mem_kvs=None):
+        """Static-``t`` step over a per-position entry list, each
+        ``(num_layers, 2, rows, h, dk)``.  Returns (h_a_t (b, 1, d),
+        new entry (num_layers, 2, b, h, dk))."""
+        if mem_kvs is None:
+            mem_kvs = self.precompute_mem_kvs(0)
+        x = embed_t
+        new = []
+        for i, (layer, mkv) in enumerate(zip(self.layers, mem_kvs)):
+            x, e = layer.decode_step_unrolled(
+                x, t, [ent[i] for ent in entries], mkv)
+            new.append(e)
+        return x, jnp.stack(new)

@@ -232,6 +232,32 @@ class T5Block(nn.Module):
         return hidden, position_bias
 
 
+def _cross_ffn_step(block, hidden, cross_kv, enc_mask, beams):
+    """Cross-attention + FFN tail of one decode step; ``cross_kv`` may
+    be per-QUERY (b // beams rows) and is then shared across each
+    query's beams without materializing the replication."""
+    cattn = block.cross_attn
+    cx = block.cross_norm(hidden)
+    ck_, cv_ = cross_kv
+    if beams > 1 and ck_.shape[0] * beams == cx.shape[0]:
+        cq = cattn._split(cattn.q(cx))             # (B*nb, h, 1, dk)
+        B = ck_.shape[0]
+        h, dk = cq.shape[1], cq.shape[3]
+        cqb = cq.reshape(B, beams, h, dk)
+        scores = jnp.einsum("bnhd,bhkd->bhnk", cqb,
+                            ck_).astype(jnp.float32)
+        if enc_mask is not None:
+            scores = scores + enc_mask             # (B,1,1,k) bcast
+        probs = jax.nn.softmax(scores, -1).astype(cq.dtype)
+        ctx = jnp.einsum("bhnk,bhkd->bnhd", probs, cv_)
+        ctx = ctx.reshape(B * beams, 1, h * dk)
+        y = cattn.o(ctx)
+    else:
+        y, _ = cattn(cx, mask=enc_mask, kv_cache=(ck_, cv_))
+    hidden = hidden + y
+    return hidden + block.ff(block.ff_norm(hidden))
+
+
 def extend_mask(mask: Optional[jnp.ndarray],
                 dtype=jnp.float32) -> Optional[jnp.ndarray]:
     """(b, k) 1/0 mask -> additive (b, 1, 1, k)."""
@@ -356,27 +382,79 @@ class T5Stack(nn.Module):
             y = y.transpose(0, 2, 1, 3).reshape(
                 b, 1, d.num_heads * d.d_kv)
             hidden = hidden + attn.o(y)
-            cattn = block.cross_attn
-            cx = block.cross_norm(hidden)
-            ck_, cv_ = cross_kvs[i]
-            if beams > 1 and ck_.shape[0] * beams == cx.shape[0]:
-                cq = cattn._split(cattn.q(cx))         # (B*nb, h, 1, dk)
-                B = ck_.shape[0]
-                h, dk = cq.shape[1], cq.shape[3]
-                cqb = cq.reshape(B, beams, h, dk)
-                scores = jnp.einsum("bnhd,bhkd->bhnk", cqb,
-                                    ck_).astype(jnp.float32)
-                if enc_mask is not None:
-                    scores = scores + enc_mask         # (B,1,1,k) bcast
-                probs = jax.nn.softmax(scores, -1).astype(cq.dtype)
-                ctx = jnp.einsum("bhnk,bhkd->bnhd", probs, cv_)
-                ctx = ctx.reshape(B * beams, 1, h * dk)
-                y = cattn.o(ctx)
-            else:
-                y, _ = cattn(cx, mask=enc_mask, kv_cache=(ck_, cv_))
-            hidden = hidden + y
-            hidden = hidden + block.ff(block.ff_norm(hidden))
+            hidden = _cross_ffn_step(block, hidden, cross_kvs[i],
+                                     enc_mask, beams)
         return self.final_norm(hidden), new_cache
+
+    def decode_step_unrolled(self, embed_t, t: int, entries, cross_kvs,
+                             enc_mask, beams: int = 1):
+        """Statically-unrolled decode step (``t`` is a PYTHON int).
+
+        The self-attn cache is a LIST of per-position entries, each
+        ``(num_layers, 2, rows_p, h, dk)``.  ``rows_p`` may be
+        ``b // beams`` for positions written while every beam of a
+        query still shared the prefix (the step-0 start token): those
+        entries are broadcast across beams inside the score/context
+        einsums and are never beam-reordered.  Compared to the
+        dynamic-``t`` :meth:`decode_step`, only positions that exist
+        are stored/attended/moved — the preallocated (max_len, ...)
+        buffers' update+reorder copies were ~20% of beam device time
+        in the round-4 trace.
+
+        Returns ``(hidden (b, 1, d), new_entry (num_layers, 2, b, h,
+        dk))``; the caller appends ``new_entry`` (beam-reordered) to
+        ``entries`` for the next step.
+        """
+        assert self.is_decoder
+        d = self.dims
+        b = embed_t.shape[0]
+        hidden = embed_t
+        new_kv = []
+        position_bias = None
+        for i, block in enumerate(self.blocks):
+            attn = block.self_attn
+            x = block.self_norm(hidden)
+            q, k_t, v_t = attn.project_qkv(x)          # (b, h, 1, dk)
+            k_t2, v_t2 = k_t[:, :, 0], v_t[:, :, 0]    # (b, h, dk)
+            new_kv.append(jnp.stack([k_t2, v_t2]))
+            if i == 0:
+                # static rel-pos bias row for query position t
+                rel = jnp.arange(t + 1)[None, :] - t
+                buckets = relative_position_bucket(
+                    rel, False, d.relative_attention_num_buckets,
+                    d.relative_attention_max_distance)
+                bias = attn.relative_attention_bias(
+                    buckets[0])                        # (t+1, h)
+                position_bias = jnp.transpose(bias)[None]  # (1, h, t+1)
+            q2 = q[:, :, 0]
+            parts = []
+            for p in range(t):
+                kp = entries[p][i, 0]
+                if kp.shape[0] != b:                   # beam-shared
+                    qb = q2.reshape(kp.shape[0], -1, *q2.shape[1:])
+                    sp = jnp.einsum("Bnhd,Bhd->Bnh", qb, kp)
+                    parts.append(sp.reshape(b, -1))
+                else:
+                    parts.append(jnp.einsum("bhd,bhd->bh", q2, kp))
+            parts.append(jnp.einsum("bhd,bhd->bh", q2, k_t2))
+            scores = jnp.stack(parts, axis=-1).astype(jnp.float32)
+            probs = jax.nn.softmax(scores + position_bias,
+                                   axis=-1).astype(q.dtype)
+            ctx = probs[..., t, None] * v_t2
+            for p in range(t):
+                vp = entries[p][i, 1]
+                if vp.shape[0] != b:
+                    pb = probs[..., p].reshape(vp.shape[0], -1,
+                                               probs.shape[1])
+                    cp = jnp.einsum("Bnh,Bhd->Bnhd", pb, vp)
+                    ctx = ctx + cp.reshape(b, *vp.shape[1:])
+                else:
+                    ctx = ctx + probs[..., p, None] * vp
+            y = ctx.reshape(b, 1, d.num_heads * d.d_kv)
+            hidden = hidden + attn.o(y)
+            hidden = _cross_ffn_step(block, hidden, cross_kvs[i],
+                                     enc_mask, beams)
+        return self.final_norm(hidden), jnp.stack(new_kv)
 
 
 class T5EncoderModel(nn.Module):

@@ -132,14 +132,24 @@ class PallasServer:
         self.level_tables = jax.jit(
             lambda p: nci.apply({"params": p},
                                 method=nci.head_level_tables))(nci_params)
+        # per-prefix PAWA tables: the adaptor is query-independent, so
+        # early decode levels replace its net + delta matmul with row
+        # gathers (~67 MB at the 4x32 serving config)
+        self.pawa_tables = None
+        if nci.dims.use_pawa:
+            self.pawa_tables = jax.jit(
+                lambda p, lt: nci.apply(
+                    {"params": p}, method=nci.pawa_prefix_tables,
+                    level_tables=lt))(nci_params, self.level_tables)
 
         @jax.jit
-        def _coarse(q_params, nci_params, ids, mask, level_tables):
+        def _coarse(q_params, nci_params, ids, mask, level_tables,
+                    pawa_tables):
             qemb = qtower.apply({"params": q_params}, ids, mask,
                                 method=T5Model.first_token_rep)
             codes, scores, _ = nci_beam_search_incremental(
                 nci, nci_params, ids, mask, num_beams, length_penalty,
-                level_tables=level_tables)
+                level_tables=level_tables, pawa_tables=pawa_tables)
             flat = codes.reshape(-1, codes.shape[-1])
             cidx = pack_codes(flat, kary)
             pad_g = (-cidx.shape[0]) % ROWS
@@ -194,7 +204,7 @@ class PallasServer:
         # dispatch 1: qenc + beam + cidx/q_rep prep
         qemb, codes, beam_scores, cidx, q_rep = self._coarse(
             self.q_params, self.nci_params, query_ids, query_mask,
-            self.level_tables)
+            self.level_tables, self.pawa_tables)
         if cidx_override is not None:
             cidx = cidx_override
         # dispatch 2: fused bucket kernel (own program — mixing the

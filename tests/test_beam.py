@@ -88,3 +88,57 @@ def test_incremental_beam_matches_panel(setup):
         assert (np.array(c1) == np.array(c2)).all()
         np.testing.assert_allclose(np.array(s1), np.array(s2), atol=1e-5)
         np.testing.assert_allclose(np.array(e1), np.array(e2), atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def setup_deep():
+    """4-level model: levels 1..2 are table-skippable (M-2 = 2)."""
+    KARY4, M4 = 4, 4
+    t5 = T5Dims(vocab_size=64, d_model=16, d_kv=4, d_ff=32, num_heads=4,
+                num_layers=1, num_decoder_layers=2, dropout_rate=0.0)
+    dims = NCIDims(t5=t5, kary=KARY4, max_output_length=M4 + 2,
+                   adaptor_layer_num=2, adaptor_num_heads=4,
+                   adaptor_d_ff=32)
+    model = NCIT5(dims)
+    rng = np.random.default_rng(5)
+    ids = jnp.array(rng.integers(2, 60, size=(3, 6)).astype(np.int32))
+    mask = jnp.ones_like(ids)
+    dec_in = jnp.zeros((3, M4 + 2), jnp.int32)
+    params = NCIT5(dims).init(jax.random.PRNGKey(11), ids, mask,
+                              dec_in)["params"]
+    return model, params, ids, mask
+
+
+def test_pawa_prefix_tables_beam_exact(setup_deep):
+    """The prefix-table fast path (net + delta matmul replaced by
+    gathers for levels <= M-2) must reproduce the plain incremental
+    beam's codes and scores."""
+    from mevi_tpu.decode.beam import nci_beam_search_incremental
+    from mevi_tpu.models.nci import NCIT5 as N
+    model, params, ids, mask = setup_deep
+    tables = model.apply({"params": params},
+                         method=N.pawa_prefix_tables)
+    assert set(tables["T"]) == {1, 2}
+    assert tables["T"][2].shape[0] == 4 ** 2
+    for nb in (3, 6):
+        c1, s1, _ = nci_beam_search_incremental(model, params, ids,
+                                                mask, nb)
+        c2, s2, _ = nci_beam_search_incremental(
+            model, params, ids, mask, nb, pawa_tables=tables)
+        assert (np.array(c1) == np.array(c2)).all()
+        np.testing.assert_allclose(np.array(s1), np.array(s2),
+                                   atol=2e-5)
+
+
+def test_pawa_prefix_tables_panel_exact(setup_deep):
+    """Tables path vs the panel oracle (independent formulation)."""
+    from mevi_tpu.decode.beam import nci_beam_search_incremental
+    from mevi_tpu.models.nci import NCIT5 as N
+    model, params, ids, mask = setup_deep
+    tables = model.apply({"params": params},
+                         method=N.pawa_prefix_tables)
+    c1, s1, _, _ = nci_beam_search(model, params, ids, mask, 4)
+    c2, s2, _ = nci_beam_search_incremental(
+        model, params, ids, mask, 4, pawa_tables=tables)
+    assert (np.array(c1) == np.array(c2)).all()
+    np.testing.assert_allclose(np.array(s1), np.array(s2), atol=2e-5)
