@@ -16,6 +16,7 @@ cluster-sorted corpus over ``corpus``.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Tuple
 
@@ -132,11 +133,16 @@ class PallasServer:
         self.level_tables = jax.jit(
             lambda p: nci.apply({"params": p},
                                 method=nci.head_level_tables))(nci_params)
-        # per-prefix PAWA tables: the adaptor is query-independent, so
-        # early decode levels replace its net + delta matmul with row
-        # gathers (~67 MB at the 4x32 serving config)
+        # per-prefix PAWA tables (opt-in): the adaptor is
+        # query-independent, so early decode levels can replace its net
+        # + delta matmul with row gathers.  Trace-measured at batch
+        # 512 x 10 beams the fine-grained 50 KB-row gathers run at
+        # ~160 GB/s and cost MORE than the well-fused matmuls they
+        # replace (97.4 vs 89.9 ms device) — so OFF by default; the
+        # path stays exact (test_pawa_prefix_tables_beam_exact) for
+        # configs where the trade flips (small kary, big batch).
         self.pawa_tables = None
-        if nci.dims.use_pawa:
+        if nci.dims.use_pawa and os.environ.get("MEVI_PAWA_TABLES"):
             self.pawa_tables = jax.jit(
                 lambda p, lt: nci.apply(
                     {"params": p}, method=nci.pawa_prefix_tables,
