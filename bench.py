@@ -543,7 +543,7 @@ def run(NDOC, extras):
 
     _, _, _, cidx0, q_rep0 = server._coarse(
         server.q_params, server.nci_params, batches[0][0], mask,
-        server.level_tables)
+        server.level_tables, server.pawa_tables)
     cidx_b = batches[0][2] if batches[0][2] is not None else cidx0
 
     def bucket_fn(i):

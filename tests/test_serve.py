@@ -90,6 +90,22 @@ def test_pallas_server_matches_fused(setup):
     assert (ndoc >= 0).all()
 
 
+def test_pallas_server_coarse_stage_signature(setup):
+    """bench.py's stage-split calls ``server._coarse`` directly with
+    every positional member attribute; a signature drift there crashed
+    the whole round-4 bench ladder (every child rc=1).  Lock the
+    contract: the call bench.py makes must work and agree with
+    ``query``'s cidx."""
+    nci, qtower, nci_params, q_params, ids, mask, fine = setup
+    server = serve.PallasServer(qtower, nci, q_params, nci_params, fine,
+                                num_beams=3, cap=32, pool=20)
+    qemb, codes, scores, cidx, q_rep = server._coarse(
+        server.q_params, server.nci_params, ids, mask,
+        server.level_tables, server.pawa_tables)
+    assert cidx.ndim == 1 and q_rep.shape[0] == cidx.shape[0]
+    assert codes.shape[:2] == (ids.shape[0], 3)
+
+
 def test_pallas_server_int8_corpus(setup, rng):
     """int8 index + folded dequant: same top docs, calibrated scores."""
     from mevi_tpu.index.build import quantize_int8
