@@ -227,8 +227,26 @@ def stage_tower(spec, workdir, cfg):
                         jnp.zeros((1, spec.qlen), jnp.int32),
                         jnp.ones((1, spec.qlen), jnp.int32),
                         jnp.zeros((1, 1), jnp.int32))["params"]
+    part = osp.join(workdir, "tower_params.partial.npz")
+    start = 0
+    if os.environ.get("QF_TOWER_RESUME") and osp.exists(part):
+        # mid-run restart after a tunnel stall: params only (fresh
+        # optimizer state), loaded BEFORE the optimizer so the cosine
+        # schedule spans only the steps this run will take — a
+        # schedule sized for `steps` restarts warmup at full peak on
+        # converged params and never decays (observed divergence:
+        # loss 2.0 -> 5.8 resuming 24k of 48k at peak 3e-4)
+        from mevi_tpu.train.checkpoints import load_params_npz
+        meta = np.load(part + ".step.npy") if \
+            osp.exists(part + ".step.npy") else np.asarray(0)
+        params = jax.device_put(load_params_npz(part))
+        start = int(meta)
+        log(f"tower resumed from step {start}")
+    run_steps = max(steps - start, 1)
+    peak_lr = float(os.environ.get(
+        "QF_TOWER_LR", 3e-4 if start == 0 else 1e-4))
     sched = optax.warmup_cosine_decay_schedule(
-        0.0, 3e-4, max(steps // 20, 1), steps, 1e-5)
+        0.0, peak_lr, max(run_steps // 20, 1), run_steps, 1e-5)
     opt = optax.chain(optax.clip_by_global_norm(1.0),
                       optax.adamw(sched, weight_decay=0.01))
     opt_state = opt.init(params)
@@ -272,19 +290,7 @@ def stage_tower(spec, workdir, cfg):
     host = np.random.default_rng(spec.seed + 31)
     t0 = time.time()
     loss = None
-    part = osp.join(workdir, "tower_params.partial.npz")
     save_every = env_int("QF_TOWER_SAVE_EVERY", 4000)
-    start = 0
-    if os.environ.get("QF_TOWER_RESUME") and osp.exists(part):
-        # mid-run restart after a tunnel stall: params only (fresh
-        # optimizer state; the cosine schedule restarts — acceptable
-        # for a probe-quality tower)
-        from mevi_tpu.train.checkpoints import load_params_npz
-        meta = np.load(part + ".step.npy") if \
-            osp.exists(part + ".step.npy") else np.asarray(0)
-        params = jax.device_put(load_params_npz(part))
-        start = int(meta)
-        log(f"tower resumed from step {start}")
     for it in range(start, steps, K):
         docs = host.integers(0, spec.ndoc, (K, B))
         toks = np.stack([synth.query_tokens(spec, draws[d], host)
@@ -294,7 +300,8 @@ def stage_tower(spec, workdir, cfg):
             jnp.asarray(draws[docs]))
         if (it // K) % 20 == 0:
             log(f"tower step {it + K}/{steps} loss {float(loss):.4f} "
-                f"({(it + K) * B / max(time.time() - t0, 1e-9):.0f} ex/s)")
+                f"({(it + K - start) * B / max(time.time() - t0, 1e-9):.0f}"
+                f" ex/s)")
         if save_every and (it // K) % max(save_every // K, 1) == 0 \
                 and it > start:
             save_params_npz(part, params)
@@ -358,7 +365,7 @@ def stage_eval(spec, workdir, cfg, out_path):
     if on_tpu:
         nci_params = cast(nci_params)
         tower_params = cast(tower_params)
-    NBEAM = 10
+    NBEAM = env_int("QF_BEAMS", 10)
     POOL = env_int("QF_POOL", 1000)
     server = PallasServer(tower, nci, tower_params, nci_params, fine,
                           num_beams=NBEAM, cap=CAP, pool=POOL)
