@@ -269,8 +269,8 @@ def run(NDOC, extras):
         import orbax.checkpoint as ocp
         from mevi_tpu.train.checkpoints import (CheckpointManager,
                                                 load_params_npz)
-        mgr = CheckpointManager(os.path.join(cfg.ckpt_dir, "nci"),
-                                monitor="loss", mode="min")
+        mgr = CheckpointManager.from_dir(os.path.join(cfg.ckpt_dir,
+                                                      "nci"))
         tag = mgr.best_tag()
         restored = ocp.StandardCheckpointer().restore(
             os.path.abspath(os.path.join(cfg.ckpt_dir, "nci", tag)))

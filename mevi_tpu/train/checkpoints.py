@@ -80,6 +80,32 @@ class CheckpointManager:
     def _flush_board(self):
         with open(self._board_path, "w") as fw:
             json.dump(self._board, fw, indent=1)
+        # persist what the floats MEAN: a consumer opening the
+        # directory later (bench bundle discovery, the quality eval
+        # stage) must rank with the same monitor/mode the writer used —
+        # a dev-recall board read as mode=min would pick the WORST tag
+        with open(osp.join(self.directory, "leaderboard.meta.json"),
+                  "w") as fw:
+            json.dump({"monitor": self.monitor, "mode": self.mode}, fw)
+
+    @classmethod
+    def from_dir(cls, directory: str, keep: int = 2,
+                 default_monitor: str = "loss",
+                 default_mode: str = "min") -> "CheckpointManager":
+        """Open an existing checkpoint dir ranking by whatever monitor
+        its writer recorded (falls back to the given defaults for
+        pre-meta boards)."""
+        meta_p = osp.join(osp.abspath(directory), "leaderboard.meta.json")
+        monitor, mode = default_monitor, default_mode
+        if osp.exists(meta_p):
+            try:
+                with open(meta_p) as fr:
+                    meta = json.load(fr)
+                monitor = meta.get("monitor", monitor)
+                mode = meta.get("mode", mode)
+            except Exception:
+                pass
+        return cls(directory, keep=keep, monitor=monitor, mode=mode)
 
     def _rank_key(self, value: float) -> float:
         return value if self.mode == "max" else -value

@@ -313,8 +313,7 @@ def stage_tower(spec, workdir, cfg):
 def _load_nci_params(workdir, cfg):
     import orbax.checkpoint as ocp
     from mevi_tpu.train.checkpoints import CheckpointManager
-    mgr = CheckpointManager(osp.join(cfg.ckpt_dir, "nci"),
-                            monitor="loss", mode="min")
+    mgr = CheckpointManager.from_dir(osp.join(cfg.ckpt_dir, "nci"))
     tag = mgr.best_tag()
     assert tag is not None, "no NCI checkpoint found"
     path = osp.abspath(osp.join(cfg.ckpt_dir, "nci", tag))

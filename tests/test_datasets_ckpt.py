@@ -86,6 +86,25 @@ def test_checkpoint_manager_topk(tmp_path):
     assert not osp.exists(str(tmp_path / "ck" / "e1"))
 
 
+def test_checkpoint_manager_from_dir_meta(tmp_path):
+    # the writer's monitor/mode must round-trip: a dev-recall board
+    # re-opened as mode=min would return the WORST tag
+    mgr = CheckpointManager(str(tmp_path / "ck"), keep=2,
+                            monitor="dev_hit10", mode="max")
+    state = {"w": jnp.ones((2,))}
+    mgr.save("e0", state, metric=0.3)
+    mgr.save("e1", state, metric=0.8)
+    re = CheckpointManager.from_dir(str(tmp_path / "ck"))
+    assert (re.monitor, re.mode) == ("dev_hit10", "max")
+    assert re.best_tag() == "e1"
+    # pre-meta boards (no leaderboard.meta.json) fall back to loss/min
+    import os
+    os.remove(str(tmp_path / "ck" / "leaderboard.meta.json"))
+    legacy = CheckpointManager.from_dir(str(tmp_path / "ck"))
+    assert (legacy.monitor, legacy.mode) == ("loss", "min")
+    assert legacy.best_tag() == "e0"
+
+
 def test_file_negative_sampler(tmp_path, rng):
     from mevi_tpu.data.datasets import FileNegativeSampler
     from mevi_tpu.data import io
