@@ -438,10 +438,19 @@ def stage_eval(spec, workdir, cfg, out_path):
     mapping = {int(d): tuple(codes[int(d)])
                for i in range(n_ceil)
                for d in list(ids_exact[i]) + fine_preds[qnames[i]]}
+    # grid over the fusion weights on dev, like the reference's
+    # ensemble runs (ensemble_marco.py:249-260 loops alpha/beta/gamma);
+    # report the default point AND the dev-best point with its weights
     ens = run_ensemble(gts, ance_preds, ance_scores, coarse_clusters,
                        mapping, fine_preds, fine_scores_m,
+                       alphas=(0.3, 0.6, 0.9, 1.5),
+                       betas=(0.0, 0.01, 0.03, 0.1),
+                       gammas=(0.0, 0.02, 0.05, 0.1),
                        recall_ks=(10, 100))
     ens_m = ens[(0.6, 0.03, 0.02)]
+    best_w = max(ens, key=lambda w: (ens[w]["recall"][100],
+                                     ens[w]["mrr"][10]))
+    ens_b = ens[best_w]
 
     out = {
         "config": "T5-base NCI (12+6, d=768, PAWA-4) + t5-base tower, "
@@ -457,6 +466,10 @@ def stage_eval(spec, workdir, cfg, out_path):
         "ensemble_recall@10": round(ens_m["recall"][10], 4),
         "ensemble_recall@100": round(ens_m["recall"][100], 4),
         "ensemble_mrr@10": round(ens_m["mrr"][10], 4),
+        "ensemble_best_weights": list(best_w),
+        "ensemble_best_recall@10": round(ens_b["recall"][10], 4),
+        "ensemble_best_recall@100": round(ens_b["recall"][100], 4),
+        "ensemble_best_mrr@10": round(ens_b["mrr"][10], 4),
         "ndoc_per_query": round(float(ndoc.mean()), 1),
         "serve_s_for_n_dev": round(dt_serve, 2),
         "beams": NBEAM, "cap": CAP, "pool": POOL,
