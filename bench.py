@@ -296,14 +296,15 @@ def run(NDOC, extras):
 
     # ---- kernel-vs-oracle assert on device ------------------------------
     if on_tpu:
-        from mevi_tpu.ops.bucket import (bucket_scores_fused,
-                                         bucket_scores_fused_reference)
+        from mevi_tpu.ops.bucket import bucket_scores_fused_reference
         g = 64
         cidx_s = jnp.asarray(
             host.choice(cidx_all, size=g).astype(np.int32))
         q_s = jnp.asarray(host.normal(size=(g, D)).astype(
             np.float32)).astype(dt)
-        k_s, k_r = bucket_scores_fused(
+        # validate the kernel the server actually serves with (v3 by
+        # default; MEVI_BUCKET_KERNEL=fused for the in-kernel lookup)
+        k_s, k_r = server._bucket(
             server.sorted_emb, server.offsets2d, cidx_s, q_s, CAP)
         o_s, o_r = bucket_scores_fused_reference(
             server.sorted_emb, server.offsets2d, cidx_s, q_s, CAP)

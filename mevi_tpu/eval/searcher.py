@@ -21,6 +21,7 @@ Returned doc ids are original corpus ids (via the CSR permutation).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
@@ -313,20 +314,34 @@ class FineReranker:
             if over.any():
                 s, i = self._scan_overflow(query_emb, s, i, over)
             return s, i, nd
-        from ..ops.bucket import ROWS, bucket_scores_fused
+        from ..ops.bucket import (ROWS, bucket_scores_fused,
+                                  bucket_scores_v3)
         cidx_h = ci_h.astype(np.int32)
         G = B * nb
         pad_g = (-G) % ROWS
-        cidx = jnp.asarray(np.concatenate(
-            [cidx_h, np.zeros(pad_g, np.int32)]) if pad_g else cidx_h)
         q_rep = jnp.repeat(jnp.asarray(query_emb).astype(
             self.q_dt), nb, axis=0)
         if pad_g:
             q_rep = jnp.concatenate(
                 [q_rep, jnp.zeros((pad_g, q_rep.shape[1]),
                                   q_rep.dtype)], axis=0)
-        scores, rows = bucket_scores_fused(self.semb, self.offsets2d,
-                                           cidx, q_rep, self.cap)
+        if os.environ.get("MEVI_BUCKET_KERNEL", "v3") == "fused":
+            cidx = jnp.asarray(np.concatenate(
+                [cidx_h, np.zeros(pad_g, np.int32)]) if pad_g else cidx_h)
+            scores, rows = bucket_scores_fused(
+                self.semb, self.offsets2d, cidx, q_rep, self.cap)
+        else:
+            # v3: the cluster ids are already on host, so the bucket
+            # bounds come for free — no in-kernel offsets DMAs and no
+            # extra device gather (see serve.py / profile_bucket.py)
+            s_h = self.offsets_h[ci_h].astype(np.int32)
+            e_h = self.offsets_h[ci_h + 1].astype(np.int32)
+            if pad_g:
+                s_h = np.concatenate([s_h, np.zeros(pad_g, np.int32)])
+                e_h = np.concatenate([e_h, np.zeros(pad_g, np.int32)])
+            scores, rows = bucket_scores_v3(
+                self.semb, jnp.asarray(s_h), jnp.asarray(e_h), q_rep,
+                self.cap)
         top_scores, top_rows = self._pool(scores, rows, B, nb)
         top_rows_h = np.asarray(top_rows)
         top_ids = np.where(top_rows_h >= 0,

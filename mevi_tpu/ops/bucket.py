@@ -294,6 +294,82 @@ def bucket_scores_v2(semb: jnp.ndarray, starts: jnp.ndarray,
     )(starts, ends, qemb, semb)
 
 
+def _kernel_v3(starts_ref, ends_ref, q_ref, semb_ref, out_ref, row_ref,
+               emb_buf, sems, *, cap: int, neg: float):
+    """Single-slot bucket scorer from precomputed CSR bounds.
+
+    Bounds arrive as scalar-prefetch operands (SMEM reads are free on
+    the scalar core), so relative to :func:`bucket_scores_fused` each
+    grid step drops 8 offsets DMA issues and the ~100 small vector ops
+    of the in-kernel masked bounds extraction — the scalar-core issue
+    overhead that dominates a step (the DMAs themselves are ~6 us of
+    HBM traffic).  Unlike :func:`_kernel_v2` there is no scratch slot
+    index: Mosaic pipelines grid steps itself when the scratch access
+    pattern is static."""
+    g = pl.program_id(0)
+
+    def dma(r):
+        s = starts_ref[g * ROWS + r]
+        al = pl.multiple_of((s // ALIGN) * ALIGN, ALIGN)
+        return pltpu.make_async_copy(
+            semb_ref.at[pl.ds(al, cap), :], emb_buf.at[r], sems.at[r])
+
+    for r in range(ROWS):
+        dma(r).start()
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, cap), 1)
+    for r in range(ROWS):
+        dma(r).wait()
+        s = starts_ref[g * ROWS + r]
+        e = ends_ref[g * ROWS + r]
+        al = (s // ALIGN) * ALIGN
+        q = q_ref[r, :].astype(jnp.float32)
+        block = emb_buf[r].astype(jnp.float32)          # (cap, d)
+        sc = jnp.sum(block * q[None, :], axis=-1)[None, :]
+        rows = al + lane
+        ok = (rows >= s) & (rows < e)
+        out_ref[r, :] = jnp.where(ok, sc, neg)[0]
+        row_ref[r, :] = jnp.where(ok, rows, -1)[0]
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def bucket_scores_v3(semb: jnp.ndarray, starts: jnp.ndarray,
+                     ends: jnp.ndarray, qemb: jnp.ndarray, cap: int):
+    """Bucket scoring from precomputed CSR bounds, single scratch slot.
+
+    Same contract as :func:`bucket_scores_v2` (and the same caller-side
+    bounds gather — one XLA gather of G int32, trivial next to the
+    kernel); the oracle is :func:`bucket_scores_v2_reference`."""
+    G, d = qemb.shape
+    assert G % ROWS == 0
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(G // ROWS,),
+        in_specs=[
+            pl.BlockSpec((ROWS, d), lambda g, s, e: (g, 0),
+                         memory_space=pltpu.VMEM),      # qemb rows
+            pl.BlockSpec(memory_space=pltpu.ANY),       # semb (HBM)
+        ],
+        out_specs=[
+            pl.BlockSpec((ROWS, cap), lambda g, s, e: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROWS, cap), lambda g, s, e: (g, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((ROWS, cap, d), semb.dtype),
+            pltpu.SemaphoreType.DMA((ROWS,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel_v3, cap=cap, neg=-1e30),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((G, cap), jnp.float32),
+            jax.ShapeDtypeStruct((G, cap), jnp.int32),
+        ],
+    )(starts, ends, qemb, semb)
+
+
 def bucket_scores_v2_reference(semb, starts, ends, qemb, cap):
     """XLA oracle for :func:`bucket_scores_v2` (CPU path + tests)."""
     al = (starts // ALIGN) * ALIGN
@@ -313,6 +389,13 @@ def pack_offsets_2d(offsets: "np.ndarray"):
     import numpy as np
     off = np.asarray(offsets, np.int32)
     rows = -(-len(off) // 128)
+    # the kernel DMAs a 2*ALIGN-row window starting at the ALIGN-aligned
+    # row of cidx: a cluster in the last ALIGN rows reads up to
+    # ALIGN-1 rows past its own block, so pad a full extra window (a
+    # dense cluster id space put max-cidx in the final block and read
+    # out of bounds; the serving CSR's sparse id space happened to
+    # dodge it)
+    rows += 2 * ALIGN
     rows = ((rows + 2 * ALIGN - 1) // (2 * ALIGN)) * (2 * ALIGN)
     out = np.full((rows * 128,), off[-1], np.int32)
     out[:len(off)] = off

@@ -89,7 +89,7 @@ class PallasServer:
         from .index.csr import pack_codes
         from .ops.bucket import (ROWS, bucket_scores_fused,
                                  bucket_scores_fused_reference,
-                                 pack_offsets_2d)
+                                 bucket_scores_v3, pack_offsets_2d)
         self.qtower, self.nci = qtower, nci
         self.q_params, self.nci_params = q_params, nci_params
         self.num_beams, self.cap, self.pool = num_beams, cap, pool
@@ -121,8 +121,30 @@ class PallasServer:
             semb = index.sorted_emb
         self.sorted_emb = semb
         on_cpu = jax.default_backend() == "cpu"
-        self._bucket = (bucket_scores_fused_reference if on_cpu
-                        else bucket_scores_fused)
+        kern = os.environ.get("MEVI_BUCKET_KERNEL", "v3")
+        if on_cpu:
+            self._bucket = bucket_scores_fused_reference
+        elif kern == "fused":
+            self._bucket = bucket_scores_fused
+        else:
+            # v3 (default): bucket bounds come from a tiny separate
+            # gather dispatch instead of in-kernel offsets DMAs — the
+            # scalar-core issue+extraction overhead of the fused lookup
+            # was ~90% of the kernel's device time (53.9 vs 35.3 ms
+            # wall at serving geometry incl. the ~33 ms RPC floor,
+            # scripts/profile_bucket.py)
+            offsets_d = jnp.asarray(self.offsets_h.astype(np.int32))
+
+            @jax.jit
+            def _bounds(ci):
+                s = offsets_d[ci]
+                e = offsets_d[jnp.minimum(ci + 1, offsets_d.shape[0] - 1)]
+                return s, e
+
+            def _bucket_v3(semb, offsets2d, cidx, q_rep, cap):
+                s, e = _bounds(cidx)
+                return bucket_scores_v3(semb, s, e, q_rep, cap)
+            self._bucket = _bucket_v3
         G = None  # static per (B, nb)
 
         from .decode.beam import nci_beam_search_incremental

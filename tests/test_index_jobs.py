@@ -125,3 +125,22 @@ def test_bucket_reference_oracles_agree(rng):
         jnp.asarray(offsets[ci + 1].astype(np.int32)), semb[:G], CAP)
     np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-5)
+
+
+def test_pack_offsets_2d_covers_kernel_window():
+    """The fused kernel DMAs a 2*ALIGN-row window aligned down from any
+    cluster's offsets row; the packer must pad so the window stays in
+    bounds even for the LAST cluster id (a dense cluster-id space put
+    max-cidx in the final block and read past the buffer)."""
+    from mevi_tpu.ops.bucket import ALIGN, pack_offsets_2d
+    for ncl in (1, 127, 128, 27_651, 128 * 2 * ALIGN - 1):
+        offsets = np.arange(ncl + 1, dtype=np.int64)
+        off2d = pack_offsets_2d(offsets)
+        rows = off2d.shape[0]
+        assert rows % (2 * ALIGN) == 0
+        max_ci = ncl - 1
+        arow = ((max_ci // 128) // ALIGN) * ALIGN
+        assert arow + 2 * ALIGN <= rows, (ncl, rows)
+        # padding value must be the terminal offset (empty buckets)
+        assert off2d.reshape(-1)[ncl + 1:].max(initial=offsets[-1]) \
+            == offsets[-1]
