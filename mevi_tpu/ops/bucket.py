@@ -331,14 +331,17 @@ def _kernel_v3(starts_ref, ends_ref, q_ref, semb_ref, out_ref, row_ref,
         row_ref[r, :] = jnp.where(ok, rows, -1)[0]
 
 
-@functools.partial(jax.jit, static_argnames=("cap",))
+@functools.partial(jax.jit, static_argnames=("cap", "interpret"))
 def bucket_scores_v3(semb: jnp.ndarray, starts: jnp.ndarray,
-                     ends: jnp.ndarray, qemb: jnp.ndarray, cap: int):
+                     ends: jnp.ndarray, qemb: jnp.ndarray, cap: int,
+                     interpret: bool = False):
     """Bucket scoring from precomputed CSR bounds, single scratch slot.
 
     Same contract as :func:`bucket_scores_v2` (and the same caller-side
     bounds gather — one XLA gather of G int32, trivial next to the
-    kernel); the oracle is :func:`bucket_scores_v2_reference`."""
+    kernel); the oracle is :func:`bucket_scores_v2_reference`.
+    ``interpret=True`` runs the Pallas interpreter (CPU tests exercise
+    the real kernel body, not just the XLA oracle)."""
     G, d = qemb.shape
     assert G % ROWS == 0
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -367,6 +370,7 @@ def bucket_scores_v3(semb: jnp.ndarray, starts: jnp.ndarray,
             jax.ShapeDtypeStruct((G, cap), jnp.float32),
             jax.ShapeDtypeStruct((G, cap), jnp.int32),
         ],
+        interpret=interpret,
     )(starts, ends, qemb, semb)
 
 

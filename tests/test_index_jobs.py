@@ -144,3 +144,28 @@ def test_pack_offsets_2d_covers_kernel_window():
         # padding value must be the terminal offset (empty buckets)
         assert off2d.reshape(-1)[ncl + 1:].max(initial=offsets[-1]) \
             == offsets[-1]
+
+
+def test_bucket_v3_kernel_interpret_matches_oracle(rng):
+    """The REAL v3 Pallas kernel body (serving default on TPU) against
+    the XLA oracle, via the Pallas interpreter — covers the in-kernel
+    align-down + validity-mask logic that the oracle tests skip."""
+    import jax.numpy as jnp
+    from mevi_tpu.ops.bucket import (ALIGN, ROWS, bucket_scores_v3,
+                                     bucket_scores_v2_reference)
+    N, D, CAP, G = 4096, 32, 64, ROWS * 3
+    semb = jnp.asarray(rng.normal(size=(N + CAP + ALIGN, D))
+                       .astype(np.float32))
+    bounds = np.sort(rng.choice(N - 1, size=63, replace=False)) + 1
+    offsets = np.concatenate([[0], bounds, [N]]).astype(np.int64)
+    ci = rng.integers(0, len(offsets) - 1, G)
+    st = jnp.asarray(offsets[ci].astype(np.int32))
+    en = jnp.asarray(offsets[ci + 1].astype(np.int32))
+    q = jnp.asarray(rng.normal(size=(G, D)).astype(np.float32))
+    s_k, r_k = bucket_scores_v3(semb, st, en, q, CAP, interpret=True)
+    s_o, r_o = bucket_scores_v2_reference(semb, st, en, q, CAP)
+    np.testing.assert_array_equal(np.asarray(r_k), np.asarray(r_o))
+    valid = np.asarray(r_k) >= 0
+    np.testing.assert_allclose(np.asarray(s_k)[valid],
+                               np.asarray(s_o)[valid], rtol=1e-5,
+                               atol=1e-4)
