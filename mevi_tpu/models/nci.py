@@ -221,9 +221,10 @@ class NCIT5(nn.Module):
           KV[p] (K^p, num_layers, 2, h, dk): the cache entry the net
                  WOULD have written at position p, so the net can be
                  skipped entirely at early steps and the cache
-                 reconstructed by gather before the first live step.
+                 reconstructed by gather before the first live step
+                 (rows-major — the gather result IS the entry).
 
-        Plus ``delta0`` (dm*(K+1),) and ``e0`` (num_layers, 2, 1, h,
+        Plus ``delta0`` (dm*(K+1),) and ``e0`` (1, num_layers, 2, h,
         dk) for the universal start-token position.  Costs one K^t-row
         panel run + one (K^t, dm) x (dm, dm*(K+1)) matmul per level,
         once per params (~50 ms at serving config).
@@ -272,7 +273,8 @@ class NCIT5(nn.Module):
             out["KV"][t] = jnp.transpose(kv_p, (2, 0, 1, 3, 4))
         out["delta0"] = (h_all[:1, 0] @ A_lvl[0])[0] \
             if A_lvl is not None else None
-        out["e0"] = kvs[:, :, :1, 0]       # (num_layers, 2, 1, h, dk)
+        out["e0"] = jnp.transpose(
+            kvs[:, :, :1, 0], (2, 0, 1, 3, 4))   # (1, num_layers, 2, h, dk)
         return out
 
     def project_cross_kvs(self, memory):

@@ -142,10 +142,11 @@ class TorchDecoderLayer(nn.Module):
 
     def decode_step_unrolled(self, x_t, t: int, entries_i, mem_const):
         """Statically-unrolled step: ``t`` is a python int; the cache
-        is a per-position list of ``(2, rows, h, dk)`` for THIS layer.
-        PAWA is query-independent, so the position-0 (start-token)
-        entry may have rows == 1 and broadcasts over the whole beam
-        batch.  Returns (out (b, 1, d), new entry (2, b, h, dk))."""
+        is a per-position list of ``(rows, 2, h, dk)`` for THIS layer
+        (rows-major: beam reorder is a leading-axis gather).  PAWA is
+        query-independent, so the position-0 (start-token) entry may
+        have rows == 1 and broadcasts over the whole beam batch.
+        Returns (out (b, 1, d), new entry (b, 2, h, dk))."""
         d = self.dims
         b = x_t.shape[0]
         dk = d.d_model // d.num_heads
@@ -154,7 +155,7 @@ class TorchDecoderLayer(nn.Module):
         q2 = q[:, :, 0]
         parts = []
         for p in range(t):
-            kp = entries_i[p][0]
+            kp = entries_i[p][:, 0]
             if kp.shape[0] != b:
                 qb = q2.reshape(kp.shape[0], -1, *q2.shape[1:])
                 parts.append(jnp.einsum("Bnhd,Bhd->Bnh", qb,
@@ -168,7 +169,7 @@ class TorchDecoderLayer(nn.Module):
         probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
         ctx = probs[..., t, None] * v_t2
         for p in range(t):
-            vp = entries_i[p][1]
+            vp = entries_i[p][:, 1]
             if vp.shape[0] != b:
                 pb = probs[..., p].reshape(vp.shape[0], -1,
                                            probs.shape[1])
@@ -179,7 +180,7 @@ class TorchDecoderLayer(nn.Module):
         sa = self.self_attn.out_proj(ctx.reshape(b, 1, d.d_model))
         x = self.norm1(x_t + sa)
         x = self.norm2(x + mem_const)
-        return self._ff(x, True), jnp.stack([k_t2, v_t2])
+        return self._ff(x, True), jnp.stack([k_t2, v_t2], axis=1)
 
     def decode_step(self, x_t, t, cache_kv, mem_const):
         """Incremental step: x_t (b, 1, d); cache_kv (k, v) of shape
@@ -303,14 +304,14 @@ class PawaAdaptor(nn.Module):
     def decode_step_unrolled(self, embed_t, t: int, entries,
                              mem_kvs=None):
         """Static-``t`` step over a per-position entry list, each
-        ``(num_layers, 2, rows, h, dk)``.  Returns (h_a_t (b, 1, d),
-        new entry (num_layers, 2, b, h, dk))."""
+        ``(rows, num_layers, 2, h, dk)`` (rows-major).  Returns
+        (h_a_t (b, 1, d), new entry (b, num_layers, 2, h, dk))."""
         if mem_kvs is None:
             mem_kvs = self.precompute_mem_kvs(0)
         x = embed_t
         new = []
         for i, (layer, mkv) in enumerate(zip(self.layers, mem_kvs)):
             x, e = layer.decode_step_unrolled(
-                x, t, [ent[i] for ent in entries], mkv)
+                x, t, [ent[:, i] for ent in entries], mkv)
             new.append(e)
-        return x, jnp.stack(new)
+        return x, jnp.stack(new, axis=1)
