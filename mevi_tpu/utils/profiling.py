@@ -102,8 +102,23 @@ def traced_stage_seconds(fn, n: int = 3,
     import shutil
     import jax
     shutil.rmtree(trace_dir, ignore_errors=True)
-    with jax.profiler.trace(trace_dir):
-        for i in range(n):
-            fn(i)
+    # Host/python tracer lanes can emit ~1M events for a large unrolled
+    # program and truncate the device lanes out of the exported JSON
+    # (observed: beam capture with 999,998 host events and a single
+    # 0-duration 'XLA Ops' event) — capture device activity only.
+    try:
+        opts = jax.profiler.ProfileOptions()
+        opts.host_tracer_level = 0
+        opts.python_tracer_level = 0
+        jax.profiler.start_trace(trace_dir, profiler_options=opts)
+        try:
+            for i in range(n):
+                fn(i)
+        finally:
+            jax.profiler.stop_trace()
+    except TypeError:                     # older jax: no options param
+        with jax.profiler.trace(trace_dir):
+            for i in range(n):
+                fn(i)
     total, per_op = device_op_seconds(trace_dir)
     return total / max(n, 1), per_op
