@@ -66,11 +66,12 @@ class BertSelfAttention(nn.Module):
         b, l, _ = hidden.shape
 
         def heads(name):
+            # heads-last (b, l, h, dk) — see T5Attention._split
             y = nn.Dense(d.d_model, name=name, dtype=d.dtype)(hidden)
-            return y.reshape(b, l, h, dk).transpose(0, 2, 1, 3)
+            return y.reshape(b, l, h, dk)
 
         q, k, v = heads("query"), heads("key"), heads("value")
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(
             jnp.float32(dk)).astype(hidden.dtype)
         if mask is not None:
             scores = scores + mask
@@ -78,8 +79,8 @@ class BertSelfAttention(nn.Module):
                                axis=-1).astype(hidden.dtype)
         probs = nn.Dropout(d.dropout_rate)(probs,
                                            deterministic=deterministic)
-        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
-        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, l, d.d_model)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        ctx = ctx.reshape(b, l, d.d_model)
         out = nn.Dense(d.d_model, name="out", dtype=d.dtype)(ctx)
         out = nn.Dropout(d.dropout_rate)(out, deterministic=deterministic)
         return nn.LayerNorm(epsilon=d.layer_norm_epsilon, name="norm",

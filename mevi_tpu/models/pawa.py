@@ -57,11 +57,12 @@ class TorchMultiheadAttention(nn.Module):
         self.dropout = nn.Dropout(d.dropout_rate)
 
     def _split(self, x):
+        # heads-last (b, l, h, dk) — see T5Attention._split
         d = self.dims
         h = d.num_heads
         dk = d.d_model // h
         b, l, _ = x.shape
-        return x.reshape(b, l, h, dk).transpose(0, 2, 1, 3)
+        return x.reshape(b, l, h, dk)
 
     def project_q(self, x):
         dm = self.dims.d_model
@@ -86,16 +87,16 @@ class TorchMultiheadAttention(nn.Module):
     def attend(self, q, k, v, attn_mask=None, deterministic=True):
         d = self.dims
         dk = d.d_model // d.num_heads
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(
             jnp.float32(dk)).astype(q.dtype)
         if attn_mask is not None:
             scores = scores + attn_mask
         probs = jax.nn.softmax(scores.astype(jnp.float32),
                                axis=-1).astype(q.dtype)
         probs = self.dropout(probs, deterministic=deterministic)
-        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
-        b, _, l, _ = ctx.shape
-        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, l, d.d_model)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        b, l, _, _ = ctx.shape
+        ctx = ctx.reshape(b, l, d.d_model)
         return self.out_proj(ctx)
 
     def __call__(self, q_in, kv_in, attn_mask=None, deterministic=True):
@@ -150,9 +151,9 @@ class TorchDecoderLayer(nn.Module):
         d = self.dims
         b = x_t.shape[0]
         dk = d.d_model // d.num_heads
-        q, k_t, v_t = self.self_attn.project_qkv(x_t)   # (b, h, 1, dk)
-        k_t2, v_t2 = k_t[:, :, 0], v_t[:, :, 0]
-        q2 = q[:, :, 0]
+        q, k_t, v_t = self.self_attn.project_qkv(x_t)   # (b, 1, h, dk)
+        k_t2, v_t2 = k_t[:, 0], v_t[:, 0]
+        q2 = q[:, 0]
         parts = []
         for p in range(t):
             kp = entries_i[p][:, 0]
@@ -193,20 +194,19 @@ class TorchDecoderLayer(nn.Module):
         pos = jnp.arange(max_len)
         causal = jnp.where(pos[None, None, None, :] <= t, 0.0,
                            -1e9).astype(jnp.float32)
-        q, k_t, v_t = self.self_attn.project_qkv(x_t)   # (b, h, 1, dk)
+        q, k_t, v_t = self.self_attn.project_qkv(x_t)   # (b, 1, h, dk)
         ck = jax.lax.dynamic_update_slice_in_dim(
-            cache_kv[0], k_t.transpose(2, 0, 1, 3), t, 0)
+            cache_kv[0], k_t.transpose(1, 0, 2, 3), t, 0)
         cv = jax.lax.dynamic_update_slice_in_dim(
-            cache_kv[1], v_t.transpose(2, 0, 1, 3), t, 0)
+            cache_kv[1], v_t.transpose(1, 0, 2, 3), t, 0)
         dk = d.d_model // d.num_heads
-        scores = jnp.einsum("bhqd,lbhd->bhql", q, ck) / jnp.sqrt(
+        scores = jnp.einsum("bqhd,lbhd->bhql", q, ck) / jnp.sqrt(
             jnp.float32(dk)).astype(q.dtype)
         probs = jax.nn.softmax(scores.astype(jnp.float32) + causal,
                                axis=-1).astype(q.dtype)
-        ctx = jnp.einsum("bhql,lbhd->bhqd", probs, cv)
+        ctx = jnp.einsum("bhql,lbhd->bqhd", probs, cv)
         b = ctx.shape[0]
-        sa = self.self_attn.out_proj(
-            ctx.transpose(0, 2, 1, 3).reshape(b, 1, d.d_model))
+        sa = self.self_attn.out_proj(ctx.reshape(b, 1, d.d_model))
         x = self.norm1(x_t + sa)
         x = self.norm2(x + mem_const)
         return self._ff(x, True), (ck, cv)
@@ -258,9 +258,8 @@ class PawaAdaptor(nn.Module):
         x = tgt_embeds
         kvs = []
         for layer in self.layers:
-            _, k, v = layer.self_attn.project_qkv(x)   # (b, h, l, dk)
-            kvs.append(jnp.stack([k.transpose(0, 2, 1, 3),
-                                  v.transpose(0, 2, 1, 3)]))
+            _, k, v = layer.self_attn.project_qkv(x)   # (b, l, h, dk)
+            kvs.append(jnp.stack([k, v]))
             x = layer(x, memory, mask, deterministic=True)
         # (num_layers, 2, b, l, h, dk)
         return x, jnp.stack(kvs)
@@ -277,9 +276,9 @@ class PawaAdaptor(nn.Module):
         mem = self.memory_embedding.astype(dtype or self.dims.dtype)
         out = []
         for layer in self.layers:
-            _, v = layer.cross_attn.project_kv(mem)     # (1, h, 1, dk)
+            _, v = layer.cross_attn.project_kv(mem)     # (1, 1, h, dk)
             d = self.dims
-            ctx = v.transpose(0, 2, 1, 3).reshape(1, 1, d.d_model)
+            ctx = v.reshape(1, 1, d.d_model)
             out.append(layer.cross_attn.out_proj(ctx))
         return out
 

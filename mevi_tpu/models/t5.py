@@ -117,21 +117,24 @@ class T5Attention(nn.Module):
         return jnp.transpose(bias, (2, 0, 1))[None]        # (1, h, q, k)
 
     def _split(self, x):
+        # heads-LAST (b, l, h, dk): the head split is a free reshape and
+        # the attend einsums fold the head transpose into the matmuls —
+        # the heads-major (b, h, l, dk) convention materialized a layout
+        # copy per projection (~8.5 ms of the batch-512 beam program)
         b, l, _ = x.shape
-        return x.reshape(b, l, self.dims.num_heads,
-                         self.dims.d_kv).transpose(0, 2, 1, 3)
+        return x.reshape(b, l, self.dims.num_heads, self.dims.d_kv)
 
     def attend(self, q, k, v, position_bias, mask):
-        """q,k,v: (b, h, l, d_kv); mask: additive (b, 1, q, k) or None."""
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)
+        """q,k,v: (b, l, h, d_kv); mask: additive (b, 1, q, k) or None."""
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
         if position_bias is not None:
             scores = scores + position_bias
         if mask is not None:
             scores = scores + mask
         probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
-        b, h, l, dk = out.shape
-        return out.transpose(0, 2, 1, 3).reshape(b, l, h * dk)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        b, l, h, dk = out.shape
+        return out.reshape(b, l, h * dk)
 
     def __call__(self, hidden, kv_hidden=None, mask=None,
                  position_bias=None, kv_cache=None):
@@ -146,7 +149,7 @@ class T5Attention(nn.Module):
             k = self._split(self.k(kv_hidden))
             v = self._split(self.v(kv_hidden))
         if position_bias is None and self.has_relative_bias:
-            position_bias = self.compute_bias(q.shape[2], k.shape[2])
+            position_bias = self.compute_bias(q.shape[1], k.shape[1])
         ctx = self.attend(q, k, v, position_bias, mask)
         return self.o(ctx), position_bias
 
@@ -240,16 +243,16 @@ def _cross_ffn_step(block, hidden, cross_kv, enc_mask, beams):
     cx = block.cross_norm(hidden)
     ck_, cv_ = cross_kv
     if beams > 1 and ck_.shape[0] * beams == cx.shape[0]:
-        cq = cattn._split(cattn.q(cx))             # (B*nb, h, 1, dk)
+        cq = cattn._split(cattn.q(cx))             # (B*nb, 1, h, dk)
         B = ck_.shape[0]
-        h, dk = cq.shape[1], cq.shape[3]
+        h, dk = cq.shape[2], cq.shape[3]
         cqb = cq.reshape(B, beams, h, dk)
-        scores = jnp.einsum("bnhd,bhkd->bhnk", cqb,
+        scores = jnp.einsum("bnhd,bkhd->bhnk", cqb,
                             ck_).astype(jnp.float32)
         if enc_mask is not None:
             scores = scores + enc_mask             # (B,1,1,k) bcast
         probs = jax.nn.softmax(scores, -1).astype(cq.dtype)
-        ctx = jnp.einsum("bhnk,bhkd->bnhd", probs, cv_)
+        ctx = jnp.einsum("bhnk,bkhd->bnhd", probs, cv_)
         ctx = ctx.reshape(B * beams, 1, h * dk)
         y = cattn.o(ctx)
     else:
@@ -336,7 +339,7 @@ class T5Stack(nn.Module):
           cache: list of per-layer (k, v), time-major
             (max_len, b, h, d_kv) — see ``init_cache``.
           cross_kvs: precomputed cross-attn (k, v) per layer — shape
-            (b, h, enc_len, d_kv), or (b // beams, h, enc_len, d_kv)
+            (b, enc_len, h, d_kv), or (b // beams, enc_len, h, d_kv)
             when ``beams > 1``: the K/V are per *query* and shared by
             its beams (never materialized x beams — at serving batch
             256 x 10 beams that replication is 1.5 GB re-read every
@@ -357,12 +360,12 @@ class T5Stack(nn.Module):
         for i, block in enumerate(self.blocks):
             attn = block.self_attn
             x = block.self_norm(hidden)
-            q, k_t, v_t = attn.project_qkv(x)          # (b, h, 1, dk)
+            q, k_t, v_t = attn.project_qkv(x)          # (b, 1, h, dk)
             ck, cv = cache[i]                          # (L, b, h, dk)
             ck = jax.lax.dynamic_update_slice_in_dim(
-                ck, k_t.transpose(2, 0, 1, 3), t, axis=0)
+                ck, k_t.transpose(1, 0, 2, 3), t, axis=0)
             cv = jax.lax.dynamic_update_slice_in_dim(
-                cv, v_t.transpose(2, 0, 1, 3), t, axis=0)
+                cv, v_t.transpose(1, 0, 2, 3), t, axis=0)
             new_cache.append((ck, cv))
             if i == 0:
                 # decoder rel-pos bias row for query position t
@@ -373,14 +376,13 @@ class T5Stack(nn.Module):
                 bias = attn.relative_attention_bias(buckets[0])  # (L, h)
                 position_bias = jnp.transpose(bias)[None, :, None, :]
             # time-major attend: scores (b, h, 1, L)
-            scores = jnp.einsum("bhqd,lbhd->bhql", q,
+            scores = jnp.einsum("bqhd,lbhd->bhql", q,
                                 ck).astype(jnp.float32)
             scores = scores + position_bias + causal
             probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
-            y = jnp.einsum("bhql,lbhd->bhqd", probs, cv)
+            y = jnp.einsum("bhql,lbhd->bqhd", probs, cv)
             b = y.shape[0]
-            y = y.transpose(0, 2, 1, 3).reshape(
-                b, 1, d.num_heads * d.d_kv)
+            y = y.reshape(b, 1, d.num_heads * d.d_kv)
             hidden = hidden + attn.o(y)
             hidden = _cross_ffn_step(block, hidden, cross_kvs[i],
                                      enc_mask, beams)
@@ -416,8 +418,8 @@ class T5Stack(nn.Module):
         for i, block in enumerate(self.blocks):
             attn = block.self_attn
             x = block.self_norm(hidden)
-            q, k_t, v_t = attn.project_qkv(x)          # (b, h, 1, dk)
-            k_t2, v_t2 = k_t[:, :, 0], v_t[:, :, 0]    # (b, h, dk)
+            q, k_t, v_t = attn.project_qkv(x)          # (b, 1, h, dk)
+            k_t2, v_t2 = k_t[:, 0], v_t[:, 0]          # (b, h, dk)
             new_kv.append(jnp.stack([k_t2, v_t2], axis=1))   # (b, 2, h, dk)
             if i == 0:
                 # static rel-pos bias row for query position t
@@ -428,7 +430,7 @@ class T5Stack(nn.Module):
                 bias = attn.relative_attention_bias(
                     buckets[0])                        # (t+1, h)
                 position_bias = jnp.transpose(bias)[None]  # (1, h, t+1)
-            q2 = q[:, :, 0]
+            q2 = q[:, 0]
             parts = []
             for p in range(t):
                 kp = entries[p][:, i, 0]
