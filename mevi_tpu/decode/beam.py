@@ -129,6 +129,12 @@ def nci_beam_search(
     return codes, norm, enc_hidden, dec_hidden
 
 
+def _tree_rows(entry, rows):
+    """Row-gather every leaf of a cache-entry pytree (the per-layer
+    (k, v) tuples of ``T5Stack.decode_step_unrolled``)."""
+    return jax.tree.map(lambda x: x[rows], entry)
+
+
 def _prefix_index(code_hist, p: int, K: int):
     """Base-K integer index of each row's code prefix (c0..c_{p-1})."""
     pidx = code_hist[:, 0].astype(jnp.int32)
@@ -216,7 +222,8 @@ def nci_beam_search_incremental(
         pawa_entries = None          # rebuilt by gather at live steps
         skip_levels = set(pawa_tables["T"])
     else:
-        pawa_entries = None if pawa_e0 is None else [pawa_e0[:1]]
+        pawa_entries = (None if pawa_e0 is None
+                        else [_tree_rows(pawa_e0, slice(0, 1))])
         skip_levels = set()
 
     def rebuild_pawa(t, extra=None):
@@ -225,9 +232,9 @@ def nci_beam_search_incremental(
         ents = [pawa_tables["e0"]]
         top = t - 1 if extra is not None else t
         for p in range(1, top):
-            # rows-major tables: the gather result IS the entry
-            ents.append(
-                pawa_tables["KV"][p][_prefix_index(code_hist, p, K)])
+            # rows-major per-layer tables: the row gather IS the entry
+            ents.append(_tree_rows(pawa_tables["KV"][p],
+                                   _prefix_index(code_hist, p, K)))
         if extra is not None:
             ents.append(extra)
         return ents
@@ -260,19 +267,20 @@ def nci_beam_search_incremental(
         rows = (jnp.arange(B)[:, None] * nb + beam_idx).reshape(-1)
         code_hist = code_hist[rows]
         code_hist = code_hist.at[:, t].set(code.reshape(-1))
-        # rows-major entries: beam reorder is a leading-axis row gather
-        # (contiguous rows — no relayout copy, unlike the layers-major
-        # layout whose axis-2 gather cost a full copy per entry per step)
+        # rows-major per-layer entries: beam reorder is a pytree of
+        # contiguous row gathers (a packed cross-layer array cost a
+        # relayout copy at the stack + a strided-slice copy per layer)
         dec_entries = ([dec_entries[0]]
-                       + [e[rows] for e in dec_entries[1:]]
-                       + [dec_e[rows]])
+                       + [_tree_rows(e, rows) for e in dec_entries[1:]]
+                       + [_tree_rows(dec_e, rows)])
         if use_tables:
             if pawa_e is not None:
-                pawa_live = pawa_e[rows]
+                pawa_live = _tree_rows(pawa_e, rows)
         elif pawa_entries is not None:
             pawa_entries = ([pawa_entries[0]]
-                            + [e[rows] for e in pawa_entries[1:]]
-                            + [pawa_e[rows]])
+                            + [_tree_rows(e, rows)
+                               for e in pawa_entries[1:]]
+                            + [_tree_rows(pawa_e, rows)])
         cur_tok = (code.reshape(-1, 1) + t * K + 2)
 
     # final step: EOS log-prob at position M

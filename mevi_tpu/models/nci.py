@@ -218,14 +218,16 @@ class NCIT5(nn.Module):
           T[t]  (K^t, dm*(K+1)): the logits-delta slab H_t @ A_t — the
                  per-step (rows, dm) x (dm, dm*(K+1)) adaptor matmul
                  becomes a row gather;
-          KV[p] (K^p, num_layers, 2, h, dk): the cache entry the net
-                 WOULD have written at position p, so the net can be
-                 skipped entirely at early steps and the cache
-                 reconstructed by gather before the first live step
-                 (rows-major — the gather result IS the entry).
+          KV[p]: the cache entry the net WOULD have written at
+                 position p — a tuple over layers of ``(k, v)``
+                 arrays of shape ``(K^p, h, dk)`` (the entry pytree
+                 itself, rows-major: a per-leaf row gather IS the
+                 entry), so the net can be skipped entirely at early
+                 steps and the cache reconstructed by gather before
+                 the first live step.
 
-        Plus ``delta0`` (dm*(K+1),) and ``e0`` (1, num_layers, 2, h,
-        dk) for the universal start-token position.  Costs one K^t-row
+        Plus ``delta0`` (dm*(K+1),) and ``e0`` (the 1-row entry
+        pytree) for the universal start-token position.  Costs one K^t-row
         panel run + one (K^t, dm) x (dm, dm*(K+1)) matmul per level,
         once per params (~50 ms at serving config).
         """
@@ -260,21 +262,22 @@ class NCIT5(nn.Module):
         h_all, kvs = self.pawa.panel_with_kvs(
             self.decode_embeddings(seqs))
         # (num_layers, 2, n, l, h, dk) -> per position p tables
+        nl = kvs.shape[0]
         out = {"T": {}, "KV": {}}
         for t in range(1, t_top + 1):
             rows = (jnp.arange(K ** t) * (K ** (t_top - t))
                     if t < t_top else None)
             H_t = h_all[:, t] if rows is None else h_all[rows, t]
             out["T"][t] = (H_t @ A_lvl[t]) if A_lvl is not None else None
-            kv_p = kvs[:, :, :, t]         # (L, 2, n, h, dk)
-            if rows is not None:
-                kv_p = kv_p[:, :, rows]
-            # gather layout: (K^t, num_layers, 2, h, dk)
-            out["KV"][t] = jnp.transpose(kv_p, (2, 0, 1, 3, 4))
+            # entry pytree: tuple over layers of (k, v), each (K^t, h, dk)
+            out["KV"][t] = tuple(
+                (kvs[i, 0, :, t] if rows is None else kvs[i, 0, rows, t],
+                 kvs[i, 1, :, t] if rows is None else kvs[i, 1, rows, t])
+                for i in range(nl))
         out["delta0"] = (h_all[:1, 0] @ A_lvl[0])[0] \
             if A_lvl is not None else None
-        out["e0"] = jnp.transpose(
-            kvs[:, :, :1, 0], (2, 0, 1, 3, 4))   # (1, num_layers, 2, h, dk)
+        out["e0"] = tuple((kvs[i, 0, :1, 0], kvs[i, 1, :1, 0])
+                          for i in range(nl))     # 1-row entry pytree
         return out
 
     def project_cross_kvs(self, memory):

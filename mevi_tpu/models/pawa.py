@@ -143,11 +143,12 @@ class TorchDecoderLayer(nn.Module):
 
     def decode_step_unrolled(self, x_t, t: int, entries_i, mem_const):
         """Statically-unrolled step: ``t`` is a python int; the cache
-        is a per-position list of ``(rows, 2, h, dk)`` for THIS layer
-        (rows-major: beam reorder is a leading-axis gather).  PAWA is
+        is a per-position list of ``(k, v)`` tuples for THIS layer,
+        each array ``(rows, h, dk)`` (per-layer tuples: see
+        ``T5Stack.decode_step_unrolled``).  PAWA is
         query-independent, so the position-0 (start-token) entry may
         have rows == 1 and broadcasts over the whole beam batch.
-        Returns (out (b, 1, d), new entry (b, 2, h, dk))."""
+        Returns (out (b, 1, d), new entry (k, v) of (b, h, dk))."""
         d = self.dims
         b = x_t.shape[0]
         dk = d.d_model // d.num_heads
@@ -156,7 +157,7 @@ class TorchDecoderLayer(nn.Module):
         q2 = q[:, 0]
         parts = []
         for p in range(t):
-            kp = entries_i[p][:, 0]
+            kp = entries_i[p][0]
             if kp.shape[0] != b:
                 qb = q2.reshape(kp.shape[0], -1, *q2.shape[1:])
                 parts.append(jnp.einsum("Bnhd,Bhd->Bnh", qb,
@@ -170,7 +171,7 @@ class TorchDecoderLayer(nn.Module):
         probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
         ctx = probs[..., t, None] * v_t2
         for p in range(t):
-            vp = entries_i[p][:, 1]
+            vp = entries_i[p][1]
             if vp.shape[0] != b:
                 pb = probs[..., p].reshape(vp.shape[0], -1,
                                            probs.shape[1])
@@ -181,7 +182,7 @@ class TorchDecoderLayer(nn.Module):
         sa = self.self_attn.out_proj(ctx.reshape(b, 1, d.d_model))
         x = self.norm1(x_t + sa)
         x = self.norm2(x + mem_const)
-        return self._ff(x, True), jnp.stack([k_t2, v_t2], axis=1)
+        return self._ff(x, True), (k_t2, v_t2)
 
     def decode_step(self, x_t, t, cache_kv, mem_const):
         """Incremental step: x_t (b, 1, d); cache_kv (k, v) of shape
@@ -302,15 +303,16 @@ class PawaAdaptor(nn.Module):
 
     def decode_step_unrolled(self, embed_t, t: int, entries,
                              mem_kvs=None):
-        """Static-``t`` step over a per-position entry list, each
-        ``(rows, num_layers, 2, h, dk)`` (rows-major).  Returns
-        (h_a_t (b, 1, d), new entry (b, num_layers, 2, h, dk))."""
+        """Static-``t`` step over a per-position entry list; each
+        entry is a tuple over layers of ``(k, v)`` arrays of shape
+        ``(rows, h, dk)``.  Returns (h_a_t (b, 1, d), new entry —
+        tuple over layers of ``(k (b, h, dk), v (b, h, dk))``)."""
         if mem_kvs is None:
             mem_kvs = self.precompute_mem_kvs(0)
         x = embed_t
         new = []
         for i, (layer, mkv) in enumerate(zip(self.layers, mem_kvs)):
             x, e = layer.decode_step_unrolled(
-                x, t, [ent[:, i] for ent in entries], mkv)
+                x, t, [ent[i] for ent in entries], mkv)
             new.append(e)
-        return x, jnp.stack(new, axis=1)
+        return x, tuple(new)

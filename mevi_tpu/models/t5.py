@@ -392,22 +392,26 @@ class T5Stack(nn.Module):
                              enc_mask, beams: int = 1):
         """Statically-unrolled decode step (``t`` is a PYTHON int).
 
-        The self-attn cache is a LIST of per-position entries, each
-        ``(rows_p, num_layers, 2, h, dk)`` — ROWS-MAJOR so the caller's
-        beam reorder is a plain leading-axis gather of contiguous
-        rows (the earlier layers-major layout forced XLA to emit a
-        full layout copy before every reorder gather: ~10 ms of the
-        97 ms beam program in the round-4 trace).  ``rows_p`` may be
-        ``b // beams`` for positions written while every beam of a
-        query still shared the prefix (the step-0 start token): those
-        entries are broadcast across beams inside the score/context
-        einsums and are never beam-reordered.  Compared to the
-        dynamic-``t`` :meth:`decode_step`, only positions that exist
-        are stored/attended/moved.
+        The self-attn cache is a LIST of per-position entries; each
+        entry is a TUPLE over layers of ``(k, v)`` arrays of shape
+        ``(rows_p, h, dk)``.  Per-layer tuples (not one packed
+        ``(rows, layers, 2, h, dk)`` array) keep every array in its
+        producer's natural layout: the packed form cost a relayout
+        copy at the cross-layer stack plus a strided-slice copy per
+        layer at consumption (~3.4 ms of the 88.9 ms beam program in
+        the round-4 trace), while per-layer rows-major arrays make the
+        caller's beam reorder a pytree of contiguous row gathers.
+        ``rows_p`` may be ``b // beams`` for positions written while
+        every beam of a query still shared the prefix (the step-0
+        start token): those entries are broadcast across beams inside
+        the score/context einsums and are never beam-reordered.
+        Compared to the dynamic-``t`` :meth:`decode_step`, only
+        positions that exist are stored/attended/moved.
 
-        Returns ``(hidden (b, 1, d), new_entry (b, num_layers, 2, h,
-        dk))``; the caller appends ``new_entry`` (beam-reordered) to
-        ``entries`` for the next step.
+        Returns ``(hidden (b, 1, d), new_entry)`` with ``new_entry`` a
+        tuple over layers of ``(k (b, h, dk), v (b, h, dk))``; the
+        caller appends it (beam-reordered) to ``entries`` for the
+        next step.
         """
         assert self.is_decoder
         d = self.dims
@@ -420,7 +424,7 @@ class T5Stack(nn.Module):
             x = block.self_norm(hidden)
             q, k_t, v_t = attn.project_qkv(x)          # (b, 1, h, dk)
             k_t2, v_t2 = k_t[:, 0], v_t[:, 0]          # (b, h, dk)
-            new_kv.append(jnp.stack([k_t2, v_t2], axis=1))   # (b, 2, h, dk)
+            new_kv.append((k_t2, v_t2))
             if i == 0:
                 # static rel-pos bias row for query position t
                 rel = jnp.arange(t + 1)[None, :] - t
@@ -433,7 +437,7 @@ class T5Stack(nn.Module):
             q2 = q[:, 0]
             parts = []
             for p in range(t):
-                kp = entries[p][:, i, 0]
+                kp = entries[p][i][0]
                 if kp.shape[0] != b:                   # beam-shared
                     qb = q2.reshape(kp.shape[0], -1, *q2.shape[1:])
                     sp = jnp.einsum("Bnhd,Bhd->Bnh", qb, kp)
@@ -446,7 +450,7 @@ class T5Stack(nn.Module):
                                    axis=-1).astype(q.dtype)
             ctx = probs[..., t, None] * v_t2
             for p in range(t):
-                vp = entries[p][:, i, 1]
+                vp = entries[p][i][1]
                 if vp.shape[0] != b:
                     pb = probs[..., p].reshape(vp.shape[0], -1,
                                                probs.shape[1])
@@ -458,7 +462,7 @@ class T5Stack(nn.Module):
             hidden = hidden + attn.o(y)
             hidden = _cross_ffn_step(block, hidden, cross_kvs[i],
                                      enc_mask, beams)
-        return self.final_norm(hidden), jnp.stack(new_kv, axis=1)
+        return self.final_norm(hidden), tuple(new_kv)
 
 
 class T5EncoderModel(nn.Module):
