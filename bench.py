@@ -266,13 +266,13 @@ def run(NDOC, extras):
     log("init params...")
     t0 = time.time()
     if ckpt_dir:
-        import orbax.checkpoint as ocp
         from mevi_tpu.train.checkpoints import (CheckpointManager,
-                                                load_params_npz)
+                                                load_params_npz,
+                                                restore_tree_host)
         mgr = CheckpointManager.from_dir(os.path.join(cfg.ckpt_dir,
                                                       "nci"))
         tag = mgr.best_tag()
-        restored = ocp.StandardCheckpointer().restore(
+        restored = restore_tree_host(
             os.path.abspath(os.path.join(cfg.ckpt_dir, "nci", tag)))
         nci_params = cast(jax.device_put(restored["params"]))
         q_params = cast(jax.device_put(load_params_npz(
@@ -648,6 +648,30 @@ def main():
     # through live buffers until process exit, so in-process retries
     # always re-OOM (observed with the 8.84M -> 4.4M -> 1M ladder)
     import subprocess
+
+    # Tunnel outages (backend init polls ~25-30 min then raises
+    # UNAVAILABLE) would burn every ladder rung's watchdog on a dead
+    # backend; probe cheaply first and only start spending rungs once
+    # the chip answers.  Budget exhausted -> proceed anyway (a probe
+    # false-negative must not block a healthy capture).
+    probe_budget = float(os.environ.get("BENCH_PROBE_BUDGET", 5400))
+    if os.environ.get("BENCH_FORCE_CPU"):
+        probe_budget = 0.0            # no tunnel to probe on CPU runs
+    probe_t0 = time.time()
+    while time.time() - probe_t0 < probe_budget:
+        try:
+            p = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.devices()[0].platform)"],
+                env=dict(os.environ), stdout=subprocess.PIPE,
+                stderr=subprocess.DEVNULL, timeout=600)
+            if p.returncode == 0 and p.stdout.strip():
+                break
+        except subprocess.TimeoutExpired:
+            pass
+        log(f"backend probe failed; retrying "
+            f"({int(time.time() - probe_t0)}s of {int(probe_budget)}s)")
+        time.sleep(120)
     fallback_from = None
     # generous default: a chip-claim recycle after a previous process
     # can block a child's first dispatch for 20+ minutes on tunneled

@@ -811,8 +811,8 @@ def cmd_eval(args):
     # NCI params: orbax dir (ours) or torch lightning ckpt (reference)
     if osp.isdir(args.nci_ckpt):
         mgr = CheckpointManager(osp.dirname(args.nci_ckpt) or ".")
-        import orbax.checkpoint as ocp
-        params = ocp.StandardCheckpointer().restore(
+        from mevi_tpu.train.checkpoints import restore_tree_host
+        params = restore_tree_host(
             osp.abspath(args.nci_ckpt))["params"]
     else:
         sd = convert.load_torch_state_dict(args.nci_ckpt)

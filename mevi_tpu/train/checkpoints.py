@@ -146,6 +146,23 @@ class CheckpointManager:
                                    template)
 
 
+def restore_tree_host(path: str):
+    """Restore an orbax checkpoint to HOST numpy arrays, ignoring the
+    shardings it was saved with.  A ``StandardCheckpointer().restore``
+    without a target replays the saved device assignment and fails
+    when the checkpoint was written on different hardware (e.g. a
+    TPU-trained bundle restored for a CPU smoke run)."""
+    import jax
+    import orbax.checkpoint as ocp
+    ckptr = ocp.PyTreeCheckpointer()
+    meta = ckptr.metadata(path)
+    tree = getattr(meta, "item_metadata", meta)   # StepMetadata wrapper
+    tree = getattr(tree, "tree", tree)
+    restore_args = jax.tree.map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tree)
+    return ckptr.restore(path, restore_args=restore_args)
+
+
 def save_params_npz(path: str, params) -> None:
     """Flat npz snapshot of a flax params pytree ('/'-joined paths) —
     a light-weight alternative to orbax for single-array-tree bundles

@@ -311,13 +311,13 @@ def stage_tower(spec, workdir, cfg):
 
 
 def _load_nci_params(workdir, cfg):
-    import orbax.checkpoint as ocp
-    from mevi_tpu.train.checkpoints import CheckpointManager
+    from mevi_tpu.train.checkpoints import (CheckpointManager,
+                                            restore_tree_host)
     mgr = CheckpointManager.from_dir(osp.join(cfg.ckpt_dir, "nci"))
     tag = mgr.best_tag()
     assert tag is not None, "no NCI checkpoint found"
     path = osp.abspath(osp.join(cfg.ckpt_dir, "nci", tag))
-    restored = ocp.StandardCheckpointer().restore(path)
+    restored = restore_tree_host(path)
     log(f"loaded NCI checkpoint {tag}")
     return restored["params"]
 
