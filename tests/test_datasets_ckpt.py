@@ -159,3 +159,19 @@ def test_host_prefetch_abandoned_consumer_stops_worker():
     while threading.active_count() > n_before and time.time() < deadline:
         time.sleep(0.05)
     assert threading.active_count() <= n_before
+
+
+def test_restore_tree_host_is_sharding_agnostic(tmp_path):
+    # restore_tree_host must return plain host numpy arrays without
+    # replaying the saved device assignment (a TPU-trained bundle must
+    # restore in a CPU process — bench/eval on other hardware)
+    from mevi_tpu.train.checkpoints import restore_tree_host
+    mgr = CheckpointManager(str(tmp_path / "ck"), keep=1)
+    state = {"params": {"w": jnp.arange(6.0).reshape(2, 3),
+                        "b": jnp.zeros((3,), jnp.int32)}}
+    mgr.save("e1", state, metric=0.0)
+    out = restore_tree_host(str(tmp_path / "ck" / "e1"))
+    assert isinstance(out["params"]["w"], np.ndarray)
+    np.testing.assert_array_equal(out["params"]["w"],
+                                  np.arange(6.0).reshape(2, 3))
+    assert out["params"]["b"].dtype == np.int32
