@@ -142,3 +142,33 @@ def test_pawa_prefix_tables_panel_exact(setup_deep):
         model, params, ids, mask, 4, pawa_tables=tables)
     assert (np.array(c1) == np.array(c2)).all()
     np.testing.assert_allclose(np.array(s1), np.array(s2), atol=2e-5)
+
+
+@pytest.mark.parametrize("use_pawa,reserve", [(False, False),
+                                              (True, True)])
+def test_incremental_matches_panel_config_variants(use_pawa, reserve):
+    """Panel/incremental identity for the non-default model configs:
+    use_pawa=False (no adaptor entries at all) and reserve_decoder=True
+    (memory = encoder states + the frozen ori_decoder token,
+    nci.py build_memory)."""
+    from mevi_tpu.decode.beam import nci_beam_search_incremental
+    t5 = T5Dims(vocab_size=64, d_model=16, d_kv=4, d_ff=32, num_heads=4,
+                num_layers=1, num_decoder_layers=1, dropout_rate=0.0)
+    dims = NCIDims(t5=t5, kary=KARY, max_output_length=L,
+                   adaptor_layer_num=1, adaptor_num_heads=4,
+                   adaptor_d_ff=32, use_pawa=use_pawa,
+                   reserve_decoder=reserve)
+    model = NCIT5(dims)
+    rng = np.random.default_rng(13)
+    ids = jnp.array(rng.integers(2, 60, size=(2, 5)).astype(np.int32))
+    mask = jnp.array((rng.random((2, 5)) < 0.9).astype(np.int32))
+    mask = mask.at[:, 0].set(1)
+    params = NCIT5(dims).init(jax.random.PRNGKey(17), ids, mask,
+                              jnp.zeros((2, L), jnp.int32))["params"]
+    for nb in (2, 4):
+        c1, s1, _, _ = nci_beam_search(model, params, ids, mask, nb)
+        c2, s2, _ = nci_beam_search_incremental(model, params, ids,
+                                                mask, nb)
+        assert (np.array(c1) == np.array(c2)).all()
+        np.testing.assert_allclose(np.array(s1), np.array(s2),
+                                   atol=1e-5)
