@@ -246,6 +246,19 @@ class NCIT5(nn.Module):
                and K ** (max_level + 1) <= max_entries):
             max_level += 1
         t_top = max_level
+        if t_top < M - 2:
+            # Partial coverage is semantically broken in the beam: at a
+            # live step t > t_top, rebuild_pawa needs KV[p] for every
+            # p < t (uncovered positions would KeyError), and only the
+            # LAST live entry is kept across steps, so intermediate live
+            # positions are lost even with the tables present.  All-or-
+            # nothing: callers fall back to the plain (net-every-step)
+            # path, which is exact.
+            raise ValueError(
+                f"pawa_prefix_tables: kary^{M - 2} = {K ** (M - 2)} "
+                f"exceeds max_entries={max_entries}; partial prefix "
+                "tables are unsupported — use the plain beam path "
+                "(pawa_tables=None)")
         # all K^t_top prefixes: tokens [start, tok0(c0), ..].  Lower
         # levels reuse this panel (their rows are the c_rest = 0 slice).
         n = K ** t_top

@@ -17,6 +17,7 @@ cluster-sorted corpus over ``corpus``.
 from __future__ import annotations
 
 import os
+import sys
 from functools import partial
 from typing import Tuple
 
@@ -165,10 +166,17 @@ class PallasServer:
         # configs where the trade flips (small kary, big batch).
         self.pawa_tables = None
         if nci.dims.use_pawa and os.environ.get("MEVI_PAWA_TABLES"):
-            self.pawa_tables = jax.jit(
-                lambda p, lt: nci.apply(
-                    {"params": p}, method=nci.pawa_prefix_tables,
-                    level_tables=lt))(nci_params, self.level_tables)
+            try:
+                self.pawa_tables = jax.jit(
+                    lambda p, lt: nci.apply(
+                        {"params": p}, method=nci.pawa_prefix_tables,
+                        level_tables=lt))(nci_params, self.level_tables)
+            except ValueError as e:
+                # kary^(M-2) > max_entries: partial prefix tables are
+                # unsupported (see pawa_prefix_tables) — serve exact via
+                # the plain net-every-step beam instead
+                print(f"PallasServer: PAWA prefix tables disabled: {e}",
+                      file=sys.stderr)
 
         @jax.jit
         def _coarse(q_params, nci_params, ids, mask, level_tables,

@@ -76,6 +76,29 @@ class CheckpointManager:
         if osp.exists(self._board_path):
             with open(self._board_path) as fr:
                 self._board = json.load(fr)
+        # A pre-existing board written under a DIFFERENT monitor/mode
+        # holds incomparable values (e.g. loss ~2.3 vs hit@10 <= 1 under
+        # mode=max would permanently outrank every new entry and keep=k
+        # pruning would evict the genuinely best new checkpoints).
+        # Demote the stale entries to the worst possible rank: old tags
+        # stay restorable (resume still finds them via best_tag while no
+        # new entry exists) but any new metric value outranks them.
+        meta_p = osp.join(self.directory, "leaderboard.meta.json")
+        if self._board and osp.exists(meta_p):
+            try:
+                with open(meta_p) as fr:
+                    meta = json.load(fr)
+            except Exception:
+                meta = {}
+            if (meta.get("monitor", monitor), meta.get("mode", mode)) \
+                    != (monitor, mode):
+                with open(osp.join(self.directory,
+                                   "leaderboard.prev.json"), "w") as fw:
+                    json.dump({"meta": meta, "board": self._board}, fw,
+                              indent=1)
+                demoted = float("-inf") if mode == "max" else float("inf")
+                self._board = {t: demoted for t in self._board}
+                self._flush_board()
 
     def _flush_board(self):
         with open(self._board_path, "w") as fw:

@@ -130,6 +130,17 @@ def test_pawa_prefix_tables_beam_exact(setup_deep):
                                    atol=2e-5)
 
 
+def test_pawa_prefix_tables_rejects_partial_coverage(setup_deep):
+    """kary^(M-2) > max_entries must raise, not silently build tables
+    that KeyError (or drop live entries) inside the beam (advisor r4):
+    partial prefix coverage is all-or-nothing."""
+    from mevi_tpu.models.nci import NCIT5 as N
+    model, params, ids, mask = setup_deep
+    with pytest.raises(ValueError, match="partial prefix"):
+        model.apply({"params": params}, method=N.pawa_prefix_tables,
+                    max_entries=4)          # kary=4, M=4 -> 4^2 > 4
+
+
 def test_pawa_prefix_tables_panel_exact(setup_deep):
     """Tables path vs the panel oracle (independent formulation)."""
     from mevi_tpu.decode.beam import nci_beam_search_incremental

@@ -105,6 +105,32 @@ def test_checkpoint_manager_from_dir_meta(tmp_path):
     assert legacy.best_tag() == "e0"
 
 
+def test_checkpoint_manager_monitor_change_demotes_stale(tmp_path):
+    """Re-opening a loss/min board as dev_hit10/max must not let the
+    stale loss values (>1) permanently outrank hit@10 (<=1) entries
+    (advisor r4): old tags are demoted to worst rank but stay
+    restorable until new entries evict them."""
+    d = str(tmp_path / "ck")
+    old = CheckpointManager(d, keep=2, monitor="loss", mode="min")
+    state = {"w": jnp.ones((2,))}
+    old.save("s100", state, metric=2.31)
+    old.save("s200", state, metric=1.97)
+    new = CheckpointManager(d, keep=2, monitor="dev_hit10", mode="max")
+    # stale tags still present (resume can find them)...
+    assert new.best_tag() in ("s100", "s200")
+    # ...but any new metric outranks them and pruning evicts stale first
+    assert new.save("s300", state, metric=0.41) is not None
+    assert new.save("s400", state, metric=0.55) is not None
+    assert new.best_tag() == "s400"
+    assert set(new._board) == {"s300", "s400"}
+    import os.path as osp
+    assert osp.exists(osp.join(d, "leaderboard.prev.json"))
+    # same-monitor reopen does NOT demote
+    again = CheckpointManager(d, keep=2, monitor="dev_hit10", mode="max")
+    assert again.best_tag() == "s400"
+    assert again._board["s400"] == 0.55
+
+
 def test_file_negative_sampler(tmp_path, rng):
     from mevi_tpu.data.datasets import FileNegativeSampler
     from mevi_tpu.data import io
