@@ -58,11 +58,18 @@ import numpy as np
 BASELINE_QPS_FALLBACK = 100.0   # only if the measured baseline fails
 
 # The axon remote-compile helper writes its logs to fd 1; keep stdout
-# clean for the single JSON result line.
-_REAL_STDOUT_FD = os.dup(1)
-os.dup2(2, 1)
+# clean for the single JSON result line.  Hijacked lazily from main()
+# so importing this module (tests) leaves the process stdout alone.
+_REAL_STDOUT_FD = None
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/mevi_jax_cache")
+
+
+def _hijack_stdout():
+    global _REAL_STDOUT_FD
+    if _REAL_STDOUT_FD is None:
+        _REAL_STDOUT_FD = os.dup(1)
+        os.dup2(2, 1)
 
 
 def log(*a):
@@ -71,7 +78,8 @@ def log(*a):
 
 def emit_result(obj):
     sys.stdout.flush()
-    os.dup2(_REAL_STDOUT_FD, 1)
+    if _REAL_STDOUT_FD is not None:
+        os.dup2(_REAL_STDOUT_FD, 1)
     print(json.dumps(obj), flush=True)
 
 
@@ -627,7 +635,61 @@ def _discover_bundle(base=None):
     return None
 
 
+def _sidecar_dir():
+    d = os.environ.get("BENCH_STAGE_DIR") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "data",
+        "bench_stages")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _sidecar_path(ndoc, dtype):
+    return os.path.join(_sidecar_dir(), f"rung_{ndoc}_{dtype}.json")
+
+
+def _save_sidecar(ndoc, dtype, obj):
+    with open(_sidecar_path(ndoc, dtype), "w") as fw:
+        json.dump({"ts": time.time(), "result": obj}, fw)
+
+
+def _load_sidecar(ndoc, dtype):
+    p = _sidecar_path(ndoc, dtype)
+    if not os.path.exists(p):
+        return None
+    try:
+        with open(p) as fr:
+            return json.load(fr)
+    except Exception:
+        return None
+
+
+def _newest_sidecar(attempts):
+    """Best fallback in LADDER order (the headline rung first)."""
+    for ndoc_try, dtype_try in attempts:
+        sc = _load_sidecar(ndoc_try, dtype_try)
+        if sc:
+            return sc
+    import glob as _glob
+    cands = []
+    for p in _glob.glob(os.path.join(_sidecar_dir(), "rung_*.json")):
+        try:
+            with open(p) as fr:
+                cands.append(json.load(fr))
+        except Exception:
+            pass
+    return max(cands, key=lambda c: c.get("ts", 0)) if cands else None
+
+
+def _emit_sidecar(sc, reason):
+    obj = dict(sc["result"])
+    obj["from_sidecar"] = True
+    obj["sidecar_age_s"] = round(time.time() - sc.get("ts", 0), 1)
+    obj["sidecar_reason"] = reason
+    emit_result(obj)
+
+
 def main():
+    _hijack_stdout()
     bundle = _discover_bundle()
     if bundle:
         log(f"trained bundle: {bundle}")
@@ -649,34 +711,6 @@ def main():
     # always re-OOM (observed with the 8.84M -> 4.4M -> 1M ladder)
     import subprocess
 
-    # Tunnel outages (backend init polls ~25-30 min then raises
-    # UNAVAILABLE) would burn every ladder rung's watchdog on a dead
-    # backend; probe cheaply first and only start spending rungs once
-    # the chip answers.  Budget exhausted -> proceed anyway (a probe
-    # false-negative must not block a healthy capture).
-    probe_budget = float(os.environ.get("BENCH_PROBE_BUDGET", 5400))
-    if os.environ.get("BENCH_FORCE_CPU"):
-        probe_budget = 0.0            # no tunnel to probe on CPU runs
-    probe_t0 = time.time()
-    while time.time() - probe_t0 < probe_budget:
-        try:
-            p = subprocess.run(
-                [sys.executable, "-c",
-                 "import jax; print(jax.devices()[0].platform)"],
-                env=dict(os.environ), stdout=subprocess.PIPE,
-                stderr=subprocess.DEVNULL, timeout=600)
-            if p.returncode == 0 and p.stdout.strip():
-                break
-        except subprocess.TimeoutExpired:
-            pass
-        log(f"backend probe failed; retrying "
-            f"({int(time.time() - probe_t0)}s of {int(probe_budget)}s)")
-        time.sleep(120)
-    fallback_from = None
-    # generous default: a chip-claim recycle after a previous process
-    # can block a child's first dispatch for 20+ minutes on tunneled
-    # deployments, and that wait counts against the watchdog
-    child_timeout = int(os.environ.get("BENCH_CHILD_TIMEOUT", 3000))
     # ladder: full scale in int8 FIRST — the only full-corpus
     # single-chip mode (8.84M bf16 is 13.6 GB of index and has OOM'd on
     # every capture; leading with it burned a child + 20 s claim-recycle
@@ -697,18 +731,73 @@ def main():
     else:
         attempts = [(NDOC, "int8"), (NDOC // 2, "bf16"),
                     (1_000_000, "bf16")]
+
+    # Round-4 failure mode: the driver's bench capture died rc 124
+    # after the outage probe burned its whole budget and the ladder
+    # never emitted.  Resilience: (a) every successful rung is cached
+    # as a sidecar under data/bench_stages/, (b) a global deadline
+    # bounds this process, and (c) on deadline/probe-exhaustion/ladder
+    # failure the newest sidecar is emitted (flagged from_sidecar) —
+    # the artifact is never null.
+    t_start = time.time()
+    deadline = float(os.environ.get("BENCH_DEADLINE", 4200))
+    have_sidecar = _newest_sidecar(attempts) is not None
+
+    def remaining():
+        return deadline - (time.time() - t_start)
+
+    # Tunnel outages (backend init polls ~25-30 min then raises
+    # UNAVAILABLE) would burn every ladder rung's watchdog on a dead
+    # backend; probe cheaply first and only start spending rungs once
+    # the chip answers.  With a sidecar on disk the probe budget is cut
+    # hard — a stale-but-real capture beats burning the deadline.
+    probe_budget = float(os.environ.get(
+        "BENCH_PROBE_BUDGET", 1200 if have_sidecar else 3600))
+    if os.environ.get("BENCH_FORCE_CPU"):
+        probe_budget = 0.0            # no tunnel to probe on CPU runs
+    probe_t0 = time.time()
+    probe_ok = probe_budget == 0.0
+    while time.time() - probe_t0 < min(probe_budget,
+                                       max(remaining() - 600, 0)):
+        try:
+            p = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.devices()[0].platform)"],
+                env=dict(os.environ), stdout=subprocess.PIPE,
+                stderr=subprocess.DEVNULL, timeout=600)
+            if p.returncode == 0 and p.stdout.strip():
+                probe_ok = True
+                break
+        except subprocess.TimeoutExpired:
+            pass
+        log(f"backend probe failed; retrying "
+            f"({int(time.time() - probe_t0)}s of {int(probe_budget)}s)")
+        time.sleep(120)
+    if not probe_ok and have_sidecar and remaining() < 1200:
+        _emit_sidecar(_newest_sidecar(attempts),
+                      "backend unreachable within probe budget")
+        return
+
+    fallback_from = None
+    # generous default: a chip-claim recycle after a previous process
+    # can block a child's first dispatch for 20+ minutes on tunneled
+    # deployments, and that wait counts against the watchdog
+    child_timeout = int(os.environ.get("BENCH_CHILD_TIMEOUT", 3000))
     for ndoc_try, dtype_try in attempts:
+        if remaining() < 300:
+            log(f"bench deadline reached before rung ndoc={ndoc_try}")
+            break
         env = dict(os.environ, BENCH_CHILD=str(ndoc_try),
                    BENCH_DTYPE=dtype_try)
         try:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)], env=env,
-                stdout=subprocess.PIPE, timeout=child_timeout)
+                stdout=subprocess.PIPE,
+                timeout=min(child_timeout, max(remaining(), 60)))
         except subprocess.TimeoutExpired:
             # a wedged chip claim can hang a child at its first dispatch
             # indefinitely; kill and try the next size
-            log(f"bench child timed out at ndoc={ndoc_try} "
-                f"({child_timeout}s)")
+            log(f"bench child timed out at ndoc={ndoc_try}")
             if fallback_from is None:
                 fallback_from = ndoc_try
             continue
@@ -719,12 +808,18 @@ def main():
             obj = json.loads(line)
             if fallback_from:
                 obj["fallback_from_ndoc"] = fallback_from
+            if not os.environ.get("BENCH_FORCE_CPU"):
+                _save_sidecar(ndoc_try, dtype_try, obj)
             emit_result(obj)
             return
         log(f"bench child failed at ndoc={ndoc_try} rc={r.returncode}")
         if fallback_from is None:
             fallback_from = ndoc_try
         time.sleep(20)                    # let the chip claim recycle
+    sc = _newest_sidecar(attempts)
+    if sc:
+        _emit_sidecar(sc, "live ladder failed or deadline reached")
+        return
     raise SystemExit("bench failed at every corpus size")
 
 

@@ -88,3 +88,37 @@ def adc_search(qemb, codebooks, onehot, k: int, chunk: int = 262144):
     """Convenience: tables + scan. qemb (B, d) -> (scores, ids) (B, k)."""
     tables = adc_tables(qemb, codebooks)
     return adc_topk(onehot, tables, k, chunk)
+
+
+def fill_onehot_matrix(codes: np.ndarray, kary: int,
+                       chunk: int = 1 << 19) -> "jnp.ndarray":
+    """Synthesize the (n, M*K) int8 one-hot code matrix straight into
+    device HBM as ONE ``lax.scan`` program (the host one-hot at NQ
+    scale is 5.4 GiB — building it host-side and shipping it over a
+    tunneled link costs minutes; the codes themselves are 160 MB).
+
+    ``codes``: (n, M) host ints (kary <= 127 so int8 transfers).
+    Rows are padded to a multiple of ``chunk`` with zeros (no code set).
+    """
+    codes = np.asarray(codes)
+    n, M = codes.shape
+    nch = (n + chunk - 1) // chunk
+    pad = nch * chunk - n
+    codes_p = np.concatenate(
+        [codes, np.full((pad, M), -1, codes.dtype)]) if pad else codes
+    codes_dev = jnp.asarray(codes_p.astype(np.int8)).reshape(
+        nch, chunk, M)
+    buf = jnp.zeros((nch * chunk, M * kary), jnp.int8)
+    eye = jnp.arange(kary, dtype=jnp.int8)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def fill(buf, codes_dev):
+        def body(b, xs):
+            cd, i = xs
+            oh = (cd[:, :, None] == eye[None, None, :]).astype(jnp.int8)
+            return jax.lax.dynamic_update_slice_in_dim(
+                b, oh.reshape(chunk, M * kary), i, 0), ()
+        starts = jnp.arange(nch, dtype=jnp.int32) * chunk
+        return jax.lax.scan(body, buf, (codes_dev, starts))[0]
+
+    return fill(buf, codes_dev)

@@ -200,9 +200,34 @@ def _tower(cfg):
     return tower_from_config(cfg.encoder).module
 
 
+def _hard_negative_draws(spec, anchor_draws, host, hn):
+    """(B, 4) anchor draws -> (B, hn, 4) hard negatives: same hierarchy
+    prefix with a fresh pool row (within-leaf-cluster distractors — the
+    discrimination the fine stage needs), and with prob 1/4 the last
+    hierarchy level also resampled (cross-sibling-cluster distractors).
+    The reference mines in-cluster hard negatives for its co-loss
+    (``main_models.py:1813-1950``); here the generative family lets us
+    SAMPLE them exactly."""
+    B = len(anchor_draws)
+    neg = np.repeat(anchor_draws[:, None, :], hn, axis=1).copy()
+    neg[:, :, 3] = host.integers(0, spec.pool_n, (B, hn))
+    flip = host.random((B, hn)) < 0.25
+    neg[:, :, 2] = np.where(flip,
+                            host.integers(0, spec.kary, (B, hn)),
+                            neg[:, :, 2])
+    return neg
+
+
 def stage_tower(spec, workdir, cfg):
     """Query tower: tokens -> embedding, contrastive vs the fixed doc
-    embeddings (in-batch negatives).  Scan-chunked like the NCI CLI."""
+    embeddings.  Round-5 recipe: in-batch negatives PLUS per-anchor
+    hard negatives (same hierarchy prefix, different pool row — in-batch
+    negatives at B=256 over 1M docs almost never share a cluster, so
+    the r04 tower never learned within-cluster ranking: served MRR@10
+    0.044 vs the posterior-mean oracle's 0.51, CEILING.json), and a
+    dev exact-MIPS probe every QF_TOWER_PROBE steps that keeps the BEST
+    params by (recall@100, mrr@10) — the recall-monitored checkpoint
+    semantics of ``MEVI/main.py:89-170`` applied to the tower."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -219,10 +244,11 @@ def stage_tower(spec, workdir, cfg):
     draws = synth.make_draws(spec)
 
     tower = _tower(cfg)
+    tiny = bool(os.environ.get("QF_TINY"))
     B = env_int("QF_TOWER_BATCH", 256)
     K = env_int("QF_TOWER_SCAN", 8)
-    steps = env_int("QF_TOWER_STEPS",
-                    8000 if not os.environ.get("QF_TINY") else 40)
+    HN = env_int("QF_TOWER_HN", 7)      # co_neg_num=7, main.py:537
+    steps = env_int("QF_TOWER_STEPS", 24000 if not tiny else 40)
     params = tower.init(jax.random.PRNGKey(1),
                         jnp.zeros((1, spec.qlen), jnp.int32),
                         jnp.ones((1, spec.qlen), jnp.int32),
@@ -250,64 +276,154 @@ def stage_tower(spec, workdir, cfg):
     opt = optax.chain(optax.clip_by_global_norm(1.0),
                       optax.adamw(sched, weight_decay=0.01))
     opt_state = opt.init(params)
+    align_w = float(os.environ.get("QF_TOWER_ALIGN", 4.0))
 
     @partial(jax.jit, donate_argnums=(0, 1))
-    def chunk(params, opt_state, toks, docs_draws):
+    def chunk(params, opt_state, toks, p_draws):
         def body(carry, xs):
             params, opt_state = carry
-            tok, dr = xs
-            d_rep = synth.gen_rows(tables, dr)
+            tok, pdr = xs                 # pdr: (B*(1+HN), 4) grouped
+            p_rep = synth.gen_rows(tables, pdr)
 
             def lf(p):
                 q = tower.apply({"params": p}, tok,
                                 jnp.ones_like(tok),
                                 method=T5Model.first_token_rep)
                 qf = q.astype(jnp.float32)
-                df = d_rep.astype(jnp.float32)
-                loss, _ = contrastive_loss(qf * 20.0,   # temperature
-                                           df)
-                # direct alignment: the target doc embedding is known
-                # exactly (synthetic corpus), and in-batch softmax over
-                # a few hundred negatives is far weaker supervision —
-                # round-3's contrastive-only tower plateaued at
-                # exact-MIPS recall@100 = 0.15.  Docs are unit-norm, so
-                # cosine-aligning q is exactly the MIPS objective.
+                # normalize q inside the loss only: per-query MIPS
+                # ranking is invariant to ||q||, and a fixed temperature
+                # on cos keeps the softmax scale stable across training
                 qn = qf / (jnp.linalg.norm(qf, axis=-1, keepdims=True)
                            + 1e-6)
-                dn = df / (jnp.linalg.norm(df, axis=-1, keepdims=True)
-                           + 1e-6)
-                align = jnp.mean(1.0 - jnp.sum(qn * dn, -1))
-                w = float(os.environ.get("QF_TOWER_ALIGN", 4.0))
-                return loss + w * align
+                pf = p_rep.astype(jnp.float32)
+                # grouped layout [q0_pos, q0_neg..., q1_pos, ...]:
+                # in-batch + every anchor's hard negatives in one CE
+                # (negatives_x_sample, document_encoder.py:78-92)
+                loss, _ = contrastive_loss(qn * 20.0, pf)
+                # direct alignment to the (unit-norm) doc embedding:
+                # under info dropout its minimizer is the posterior
+                # mean — the oracle tower of eval/ceiling.py
+                pos = pf[::(1 + HN)]
+                align = jnp.mean(1.0 - jnp.sum(qn * pos, -1))
+                return loss + align_w * align
             loss, grads = jax.value_and_grad(lf)(params)
             updates, opt_state = opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state), loss
         (params, opt_state), losses = jax.lax.scan(
-            body, (params, opt_state), (toks, docs_draws))
+            body, (params, opt_state), (toks, p_draws))
         return params, opt_state, losses[-1]
+
+    # ---- dev exact-MIPS probe (jitted once; scan over corpus chunks) --
+    n_probe = env_int("QF_TOWER_NPROBE", 512 if not tiny else 64)
+    dev_docs = np.load(osp.join(workdir, "dev_docs.npy"))[:n_probe]
+    dev_tok = np.load(osp.join(workdir, "dev_tokens.npy"))[:n_probe]
+    dev_ids = jnp.asarray(dev_tok.astype(np.int32))
+    CH = min(1 << 16, spec.ndoc)
+    nch = (spec.ndoc + CH - 1) // CH
+    pad = nch * CH - spec.ndoc
+    draws_pad = np.concatenate([draws, draws[:1].repeat(pad, 0)]) \
+        if pad else draws
+    draws_dev = jnp.asarray(draws_pad.reshape(nch, CH, -1))
+
+    @jax.jit
+    def probe_topk(params):
+        q = tower.apply({"params": params}, dev_ids,
+                        jnp.ones_like(dev_ids),
+                        method=T5Model.first_token_rep)
+        q = q.astype(jnp.float32)
+
+        def body(carry, xs):
+            bs, bi = carry
+            dr, base = xs
+            s = q @ synth.gen_rows(tables, dr).T
+            idx = base + jnp.arange(CH, dtype=jnp.int32)
+            cs = jnp.concatenate([bs, s], 1)
+            ci = jnp.concatenate(
+                [bi, jnp.broadcast_to(idx[None], s.shape)], 1)
+            ts, ti = jax.lax.top_k(cs, 100)
+            return (ts, jnp.take_along_axis(ci, ti, 1)), ()
+        init = (jnp.full((n_probe, 100), -jnp.inf, jnp.float32),
+                jnp.full((n_probe, 100), -1, jnp.int32))
+        bases = jnp.arange(nch, dtype=jnp.int32) * CH
+        (_, ids_), _ = jax.lax.scan(body, init, (draws_dev, bases))
+        return ids_
+
+    def probe(params):
+        ids_ = np.asarray(probe_topk(params))
+        ids_ = np.where(ids_ < spec.ndoc, ids_, -1)
+        found = ids_ == dev_docs[:, None]
+        pos = np.argmax(found, 1)
+        hit = found.any(1)
+        r100 = float(hit.mean())
+        mrr = float(np.where(hit & (pos < 10), 1.0 / (pos + 1), 0.0)
+                    .mean())
+        return r100, mrr
 
     host = np.random.default_rng(spec.seed + 31)
     t0 = time.time()
     loss = None
     save_every = env_int("QF_TOWER_SAVE_EVERY", 4000)
+    probe_every = env_int("QF_TOWER_PROBE", 2000 if not tiny else 16)
+    best = (-1.0, -1.0)
+    best_step = None
+    probe_log = open(osp.join(workdir, "tower_probe.jsonl"), "a")
+
+    def run_probe(it):
+        nonlocal best, best_step
+        r100, mrr = probe(params)
+        probe_log.write(json.dumps(
+            {"step": it, "recall@100": round(r100, 4),
+             "mrr@10": round(mrr, 4)}) + "\n")
+        probe_log.flush()
+        log(f"tower probe @{it}: exact-MIPS recall@100 {r100:.4f} "
+            f"mrr@10 {mrr:.4f}")
+        if (r100, mrr) > best:
+            best = (r100, mrr)
+            best_step = it
+            save_params_npz(osp.join(workdir, "tower_params.best.npz"),
+                            params)
+
     for it in range(start, steps, K):
         docs = host.integers(0, spec.ndoc, (K, B))
         toks = np.stack([synth.query_tokens(spec, draws[d], host)
                          for d in docs])
+        adr = draws[docs]                              # (K, B, 4)
+        neg = np.stack([_hard_negative_draws(spec, adr[k], host, HN)
+                        for k in range(K)])            # (K, B, HN, 4)
+        grouped = np.concatenate([adr[:, :, None, :], neg], axis=2) \
+            .reshape(K, B * (1 + HN), 4)
         params, opt_state, loss = chunk(
-            params, opt_state, jnp.asarray(toks),
-            jnp.asarray(draws[docs]))
+            params, opt_state, jnp.asarray(toks), jnp.asarray(grouped))
         if (it // K) % 20 == 0:
             log(f"tower step {it + K}/{steps} loss {float(loss):.4f} "
                 f"({(it + K - start) * B / max(time.time() - t0, 1e-9):.0f}"
                 f" ex/s)")
+        if probe_every and (it + K - start) % \
+                max(probe_every // K * K, K) == 0:
+            run_probe(it + K)
         if save_every and (it // K) % max(save_every // K, 1) == 0 \
                 and it > start:
             save_params_npz(part, params)
             np.save(part + ".step.npy", np.asarray(it + K))
-    log(f"tower trained: {time.time() - t0:.1f}s loss {float(loss):.4f}")
-    save_params_npz(osp.join(workdir, "tower_params.npz"), params)
+    run_probe(steps)
+    probe_log.close()
+    log(f"tower trained: {time.time() - t0:.1f}s loss {float(loss):.4f} "
+        f"best probe {best} @ step {best_step}")
+    # ship the probe-best params (falls back to last when probing was
+    # disabled)
+    best_p = osp.join(workdir, "tower_params.best.npz")
+    if osp.exists(best_p) and best[0] >= 0:
+        import shutil
+        shutil.copyfile(best_p, osp.join(workdir, "tower_params.npz"))
+        with open(osp.join(workdir, "tower_meta.json"), "w") as fw:
+            json.dump({"monitor": "dev_exact_mips_recall@100",
+                       "best_step": best_step,
+                       "recall@100": best[0], "mrr@10": best[1],
+                       "steps": steps, "hard_negatives": HN,
+                       "align_w": align_w}, fw)
+    else:
+        save_params_npz(osp.join(workdir, "tower_params.npz"), params)
 
 
 def _load_nci_params(workdir, cfg):
@@ -418,7 +534,19 @@ def stage_eval(spec, workdir, cfg, out_path):
     ann_s, rows = mips_topk(q_rep.astype(dt), semb, k=100)
     ids_exact = doc_ids[np.clip(np.asarray(rows), 0, len(doc_ids) - 1)]
     ann_s = np.asarray(ann_s, np.float32)
-    ceil100 = float((ids_exact == dev_docs[:n_ceil, None]).any(1).mean())
+    ann_found = ids_exact == dev_docs[:n_ceil, None]
+    ceil100 = float(ann_found.any(1).mean())
+    ann_pos = np.argmax(ann_found, 1)
+    ann_hit = ann_found.any(1)
+    ann_mrr10 = float(np.where(ann_hit & (ann_pos < 10),
+                               1.0 / (ann_pos + 1), 0.0).mean())
+    # leg diversity: fusion only helps where the ANN and fine lists
+    # DISAGREE (round-4 fusion gained +0.012 because both legs shared
+    # the same weak tower; report the overlap so that is visible)
+    overlap100 = float(np.mean([
+        len(set(ids_exact[i].tolist())
+            & set(fine_ids[i][fine_ids[i] >= 0][:100].tolist())) / 100.0
+        for i in range(n_ceil)]))
 
     # ensemble fusion (ensemble_marco.py:221-240 semantics) of the ANN
     # list with the coarse/fine MEVI lists, at the default a/b/g
@@ -452,6 +580,12 @@ def stage_eval(spec, workdir, cfg, out_path):
                                      ens[w]["mrr"][10]))
     ens_b = ens[best_w]
 
+    # data ceiling (Bayes + posterior-mean oracle tower) on the same
+    # dev slice — trained numbers are reported measured/ceiling
+    from mevi_tpu.eval.ceiling import ceiling_report
+    ceil = ceiling_report(spec, tab, draws, codes,
+                          dev_tok[:n_ceil], dev_docs[:n_ceil])
+
     out = {
         "config": "T5-base NCI (12+6, d=768, PAWA-4) + t5-base tower, "
                   "RQ 4x32" if not os.environ.get("QF_TINY")
@@ -470,11 +604,19 @@ def stage_eval(spec, workdir, cfg, out_path):
         "ensemble_best_recall@10": round(ens_b["recall"][10], 4),
         "ensemble_best_recall@100": round(ens_b["recall"][100], 4),
         "ensemble_best_mrr@10": round(ens_b["mrr"][10], 4),
+        "ann_recall@100": round(ceil100, 4),
+        "ann_mrr@10": round(ann_mrr10, 4),
+        "overlap_ann_fine@100": round(overlap100, 4),
         "ndoc_per_query": round(float(ndoc.mean()), 1),
         "serve_s_for_n_dev": round(dt_serve, 2),
         "beams": NBEAM, "cap": CAP, "pool": POOL,
         "top_beam_level_acc": level_acc,
         "top_beam_prefix_acc": prefix_acc,
+        **ceil,
+        "fine_recall@100_vs_oracle_tower": round(
+            rec[100] / max(ceil["oracle_tower_recall@100"], 1e-9), 4),
+        "coarse_hit@10_vs_bayes": round(
+            hit10 / max(ceil["bayes_coarse_hit@10"], 1e-9), 4),
     }
     with open(out_path, "w") as fw:
         fw.write(json.dumps(out) + "\n")
