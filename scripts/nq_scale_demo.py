@@ -269,6 +269,174 @@ def stage_stream(out):
         f"gt-recall {rec_fine:.4f}")
 
 
+def stage_adc(out):
+    """HBM-resident compressed ANN leg at the TRUE NQ row count.
+
+    The round-4 full-corpus answer was the host-streamed exact scan
+    (354.7 s tunnel-bound); the serving-grade answer is ADC over RQ
+    codes: an 8-level x 32 RQ (NQ_ADC_LEVELS x NQ_ADC_KARY) costs
+    256 int8 per doc = 5.4 GiB at 21,015,324 rows — resident in one
+    chip's HBM — and top-k is one (n, M*K) x (M*K, B) int8 matmul
+    (ops/adc.py).  This is the faiss-HNSW role (faiss_search.py:13-21)
+    with ADC reconstruction semantics (pq.py:743-799).
+
+    Reports adc_topk_qps and recall-vs-exact (the exact oracle runs
+    on-device from the generative tables — no host streaming needed).
+    """
+    import jax
+    if os.environ.get("NQ_FORCE_CPU"):
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from mevi_tpu.data import synth
+    from mevi_tpu.ops import adc as adc_ops
+    from mevi_tpu.ops import rq as rq_ops
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    NDOC = int(os.environ.get("NQ_NDOC", NQ_NDOC_TRUE))
+    if not on_tpu:
+        NDOC = min(NDOC, 100_000)
+    D = int(os.environ.get("NQ_D", 768 if on_tpu else 64))
+    LV = int(os.environ.get("NQ_ADC_LEVELS", 8))
+    KARY = int(os.environ.get("NQ_ADC_KARY", 32))
+    TOPK = 1000
+    spec = synth.SynthSpec(ndoc=NDOC, d=D, kary=32, levels=4, seed=9)
+    log(f"adc stage: {NDOC} x {D}, RQ {LV}x{KARY} "
+        f"({NDOC * LV * KARY / 2**30:.1f} GiB one-hot)")
+    ctrs, pool_t = synth.make_tables(spec)
+    tables_dev = (jnp.asarray(ctrs), jnp.asarray(pool_t))
+    draws = synth.make_draws(spec)
+
+    # dedicated ANN codebooks (deeper than the serving RQ 4x32: the ANN
+    # leg trades bytes for recall independently of the cluster index)
+    host = np.random.default_rng(2)
+    t0 = time.time()
+    nfit = min(NDOC, 500_000)
+    sample = synth.gen_rows(tables_dev, jnp.asarray(
+        draws[host.choice(NDOC, size=nfit, replace=False)]))
+    cbs, _ = rq_ops.rq_train(sample, levels=LV, kary=KARY, iters=8,
+                             key=jax.random.PRNGKey(17))
+    cbs = cbs.astype(jnp.float32)
+    del sample
+    log(f"ANN RQ {LV}x{KARY} fit: {time.time()-t0:.1f}s")
+
+    @jax.jit
+    def gen_assign(dr):
+        return rq_ops.assign(synth.gen_rows(tables_dev, dr), cbs,
+                             "rq", "l2")
+    t0 = time.time()
+    CH = 1 << 19
+    codes = np.empty((NDOC, LV), np.int32)
+    for s in range(0, NDOC, CH):
+        e = min(NDOC, s + CH)
+        codes[s:e] = np.asarray(gen_assign(jnp.asarray(draws[s:e])))
+    dt_assign = time.time() - t0
+    log(f"assign {NDOC} rows: {dt_assign:.1f}s")
+
+    t0 = time.time()
+    onehot = adc_ops.fill_onehot_matrix(codes, KARY)
+    np.asarray(jax.device_get(onehot.ravel()[:1]))
+    dt_fill = time.time() - t0
+    out["adc_rows"] = int(NDOC)
+    out["adc_levels"] = LV
+    out["adc_kary"] = KARY
+    out["adc_index_gib"] = round(onehot.nbytes / 2**30, 2)
+    out["adc_build_s"] = round(dt_assign + dt_fill, 1)
+    log(f"one-hot in HBM: {dt_fill:.1f}s ({out['adc_index_gib']} GiB)")
+
+    # queries: perturbed docs (same construction as the stream stage)
+    NQ = int(os.environ.get("NQ_ADC_NQ", 128))
+    gt = np.random.default_rng(1).integers(0, NDOC, NQ)
+    dr = draws[gt]
+    v = (ctrs[0][dr[:, 0]] + ctrs[1][dr[:, 1]] + ctrs[2][dr[:, 2]]
+         + pool_t[dr[:, 3]])
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    v += 0.5 * spec.eps * np.random.default_rng(1) \
+        .standard_normal((NQ, D)).astype(np.float32)
+    q = (v / np.linalg.norm(v, axis=1, keepdims=True)).astype(np.float32)
+    q_dev = jnp.asarray(q)
+
+    # exact oracle ON DEVICE from the generative tables (chunked scan;
+    # nothing streams from host)
+    nch = (NDOC + CH - 1) // CH
+    pad = nch * CH - NDOC
+    draws_p = np.concatenate([draws, draws[:1].repeat(pad, 0)]) \
+        if pad else draws
+    draws_dev = jnp.asarray(draws_p.reshape(nch, CH, 4))
+
+    @jax.jit
+    def exact_topk(qd):
+        def body(carry, xs):
+            bs, bi = carry
+            drc, base = xs
+            s = qd @ synth.gen_rows(tables_dev, drc).T
+            idx = base + jnp.arange(CH, dtype=jnp.int32)
+            cs = jnp.concatenate([bs, s.astype(jnp.float32)], 1)
+            ci = jnp.concatenate(
+                [bi, jnp.broadcast_to(idx[None], s.shape)], 1)
+            ts, ti = jax.lax.top_k(cs, 100)
+            return (ts, jnp.take_along_axis(ci, ti, 1)), ()
+        init = (jnp.full((NQ, 100), -jnp.inf, jnp.float32),
+                jnp.full((NQ, 100), -1, jnp.int32))
+        bases = jnp.arange(nch, dtype=jnp.int32) * CH
+        (_, ids_), _ = jax.lax.scan(body, init, (draws_dev, bases))
+        return ids_
+    t0 = time.time()
+    ids_exact = np.asarray(exact_topk(q_dev))
+    ids_exact = np.where(ids_exact < NDOC, ids_exact, -1)
+    out["adc_exact_oracle_s"] = round(time.time() - t0, 1)
+
+    s_adc, i_adc = adc_ops.adc_search(q_dev, cbs, onehot, k=TOPK)
+    i_adc = np.asarray(i_adc)
+    i_adc = np.where(i_adc < NDOC, i_adc, -1)          # mask pad rows
+    r100 = np.mean([len(set(i_adc[i][:100].tolist())
+                        & set(ids_exact[i].tolist())) / 100.0
+                    for i in range(NQ)])
+    r100_in_1000 = np.mean([len(set(i_adc[i].tolist())
+                                & set(ids_exact[i].tolist())) / 100.0
+                            for i in range(NQ)])
+    rec_gt = float((i_adc == gt[:, None]).any(1).mean())
+    out["adc_recall@100_vs_exact"] = round(float(r100), 4)
+    out["adc_exact100_in_top1000"] = round(float(r100_in_1000), 4)
+    out["adc_recall@1000_gt"] = round(rec_gt, 4)
+
+    # exact rerank of the ADC top-1000 (the serving pattern: ADC is the
+    # candidate generator, the 1000 true rows are a tiny host gather —
+    # or, for this generative corpus, re-synthesized on device)
+    cand_draws = jnp.asarray(draws[np.clip(i_adc, 0, NDOC - 1)])
+    @jax.jit
+    def rerank(qd, cd, ids_):
+        rows = synth.gen_rows(tables_dev,
+                              cd.reshape(-1, 4)).reshape(NQ, TOPK, D)
+        s = jnp.einsum("qd,qkd->qk", qd, rows)
+        s = jnp.where(ids_ >= 0, s, -jnp.inf)
+        _, ti = jax.lax.top_k(s, 100)
+        return jnp.take_along_axis(ids_, ti, 1)
+    ids_rr = np.asarray(rerank(q_dev, cand_draws, jnp.asarray(i_adc)))
+    rr100 = np.mean([len(set(ids_rr[i].tolist())
+                         & set(ids_exact[i].tolist())) / 100.0
+                     for i in range(NQ)])
+    out["adc_rerank_recall@100_vs_exact"] = round(float(rr100), 4)
+
+    # throughput: pipelined batches, timing fetches one element (RPC
+    # floor rules, CLAUDE.md)
+    def fetch1(x):
+        np.asarray(jax.device_get(jax.tree.leaves(x)[0].ravel()[:1]))
+        return x
+    NB = 8
+    qs = [jnp.asarray(np.roll(q, i, 0)) for i in range(NB)]
+    fetch1(adc_ops.adc_search(qs[0], cbs, onehot, k=TOPK))  # compile
+    t0 = time.time()
+    hs = [adc_ops.adc_search(qi, cbs, onehot, k=TOPK) for qi in qs]
+    for h in hs:
+        fetch1(h)
+    dt = time.time() - t0
+    out["adc_topk_qps"] = round(NQ * NB / dt, 1)
+    out["adc_topk_batch"] = NQ
+    log(f"adc top-{TOPK}: {out['adc_topk_qps']} q/s at batch {NQ}; "
+        f"recall@100 vs exact {r100:.4f} "
+        f"(exact100 in top1000: {r100_in_1000:.4f})")
+
+
 def main():
     """Each stage writes its keys to its OWN sidecar file
     (data/nqscale_stages/<stage>.json); the combined artifact is
@@ -277,7 +445,7 @@ def main():
     numbers (round-3 lesson: a driver re-run replaced the committed
     mesh keys with prep-only content)."""
     stage = os.environ.get("NQ_STAGE", "all")
-    out_p = os.environ.get("NQ_OUT", osp.join(REPO, "NQSCALE_r04.json"))
+    out_p = os.environ.get("NQ_OUT", osp.join(REPO, "NQSCALE_r05.json"))
     side_dir = os.environ.get(
         "NQ_STAGE_DIR", osp.join(REPO, "data", "nqscale_stages"))
     os.makedirs(side_dir, exist_ok=True)
@@ -302,6 +470,8 @@ def main():
         run("mesh", stage_mesh)
     if stage in ("all", "stream"):
         run("stream", stage_stream)
+    if stage in ("all", "adc"):
+        run("adc", stage_adc)
 
     out = {"metric": "nq_scale_demo", "ndoc_true": NQ_NDOC_TRUE}
     for p in sorted(glob.glob(osp.join(side_dir, "*.json"))):

@@ -61,3 +61,28 @@ def test_adc_recall_against_exact(rng):
         len(set(np.asarray(adc_ids)[i]) & set(exact_top10[i])) / 10
         for i in range(8)])
     assert recall > 0.6, recall
+
+
+def test_fill_onehot_matrix_matches_host(rng):
+    codes = rng.integers(0, 5, size=(37, 3)).astype(np.int32)
+    dev = adc.fill_onehot_matrix(codes, kary=5, chunk=8)
+    host = adc.build_adc_codes(codes, kary=5)
+    got = np.asarray(dev)
+    assert got.shape[0] == 40 and got.shape[1] == 15   # padded to chunk
+    np.testing.assert_array_equal(got[:37], host)
+    assert (got[37:] == 0).all()                       # pad rows: no code
+
+
+def test_fill_onehot_matrix_searchable(rng):
+    n, d, M, K = 200, 16, 2, 4
+    emb = rng.normal(size=(n, d)).astype(np.float32)
+    cbs, codes = rq.rq_train(jnp.asarray(emb), M, K, iters=4,
+                             key=jax.random.PRNGKey(2))
+    oh = adc.fill_onehot_matrix(np.asarray(codes), K, chunk=64)
+    q = rng.normal(size=(3, d)).astype(np.float32)
+    s1, i1 = adc.adc_search(jnp.asarray(q), cbs, oh, k=8, chunk=64)
+    s2, i2 = adc.adc_search(jnp.asarray(q), cbs,
+                            jnp.asarray(adc.build_adc_codes(
+                                np.asarray(codes), K)), k=8, chunk=64)
+    # same top-k scores; ids may tie-swap within equal scores
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-5)
