@@ -119,6 +119,7 @@ def fit_rq_codes(spec: SynthSpec, tables_dev, draws: np.ndarray,
                  cache_base: str = "/tmp/mevi_synth",
                  fit_sample: int = 500_000, iters: int = 8,
                  codebooks: Optional[np.ndarray] = None,
+                 center_last: bool = False,
                  ) -> Tuple[np.ndarray, np.ndarray]:
     """Fit RQ (levels x kary) on a sample and assign every doc; cached
     as npy under the spec's cache dir.  Returns (codebooks (M,K,d) f32
@@ -127,11 +128,17 @@ def fit_rq_codes(spec: SynthSpec, tables_dev, draws: np.ndarray,
     ``codebooks``: skip the fit and assign with these (serving a
     trained bundle over a LARGER corpus of the same generative family —
     codes must come from the codebooks the NCI was trained against).
+    ``center_last``: see ``ops.rq.rq_train`` — de-degenerates the last
+    RQ level so leaf buckets subdivide (cap-truncation fix at scale).
+    Assignment stays plain nearest-centroid either way, so codebooks
+    trained with it serve through the unchanged ``codebooks=`` path.
     """
     import jax
     import jax.numpy as jnp
     from ..ops import rq as rq_ops
     cdir = spec.cache_dir(cache_base)
+    if center_last and codebooks is None:
+        cdir += "_ctr"
     if codebooks is not None:
         import hashlib as _h
         cdir += "_cb" + _h.sha1(
@@ -150,7 +157,8 @@ def fit_rq_codes(spec: SynthSpec, tables_dev, draws: np.ndarray,
             draws[fit_rng.choice(spec.ndoc, size=nfit, replace=False)]))
         cbs, _ = rq_ops.rq_train(sample, levels=spec.levels,
                                  kary=spec.kary, iters=iters,
-                                 key=jax.random.PRNGKey(spec.seed + 11))
+                                 key=jax.random.PRNGKey(spec.seed + 11),
+                                 center_last=center_last)
         del sample
         cbs = cbs.astype(jnp.float32)
 

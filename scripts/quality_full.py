@@ -133,8 +133,17 @@ def stage_data(spec, workdir):
     tables = (jnp.asarray(tab[0]), jnp.asarray(tab[1]))
     draws = synth.make_draws(spec)
     t0 = time.time()
-    cbs, codes = synth.fit_rq_codes(spec, tables, draws)
+    # center_last (default on since r05): without it the last RQ level
+    # was degenerate (78% of prefixes -> ONE leaf) and big-corpus
+    # serving cap-truncated the buckets; see ops.rq.rq_train
+    cbs, codes = synth.fit_rq_codes(
+        spec, tables, draws,
+        center_last=os.environ.get("QF_RQ_CENTER", "1") == "1")
     log(f"RQ fit+assign: {time.time() - t0:.1f}s")
+    leaves = len(np.unique(
+        (codes.astype(np.int64) *
+         (spec.kary ** np.arange(spec.levels - 1, -1, -1))).sum(1)))
+    log(f"distinct leaf codes: {leaves}")
     np.save(osp.join(workdir, "codebooks.npy"), cbs)
     np.save(osp.join(workdir, "codes.npy"), codes)
 
@@ -623,6 +632,123 @@ def stage_eval(spec, workdir, cfg, out_path):
     print(json.dumps(out), flush=True)
 
 
+def stage_sharded(spec, workdir, cfg, out_path):
+    """DP-infer parity for the TRAINED bundle (reference: mp.spawn NCCL
+    inference, ``MEVI/main.py:289-337``): serve a dev slice through
+    ``make_sharded_server`` on an 8-virtual-device (data=2, corpus=4)
+    CPU mesh and through the single-device fine path, and assert the
+    metrics (and the retrieved id sets) match.  Writes
+    ``SHARDED_PARITY.json`` next to the QUALITY artifact.
+
+    Run as its OWN process (QF_STAGE=sharded): the 8-device CPU mesh
+    needs XLA_FLAGS set before jax initializes.
+    """
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=8")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from mevi_tpu.cli.main import _nci_dims
+    from mevi_tpu.data import synth
+    from mevi_tpu.eval.searcher import fine_rerank
+    from mevi_tpu.decode.beam import nci_beam_search_incremental
+    from mevi_tpu.models.nci import NCIT5
+    from mevi_tpu.parallel.mesh import (DATA_AXIS, make_mesh, shard_rows)
+    from mevi_tpu.serve import make_sharded_server
+    from mevi_tpu.train.checkpoints import load_params_npz
+    from mevi_tpu.utils.native import build_csr
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    assert len(jax.devices()) >= 8, "needs the 8-virtual-device mesh"
+    mesh = make_mesh(8, corpus=4)
+    nci = NCIT5(_nci_dims(cfg, dropout=0.0))
+    nci_params = _load_nci_params(workdir, cfg)
+    tower = _tower(cfg)
+    tower_params = load_params_npz(osp.join(workdir, "tower_params.npz"))
+
+    tab = synth.make_tables(spec)
+    tables = (jnp.asarray(tab[0]), jnp.asarray(tab[1]))
+    draws = synth.make_draws(spec)
+    codes = np.load(osp.join(workdir, "codes.npy"))
+    offsets, doc_ids = build_csr(codes, spec.kary)
+    CAP = env_int("QF_CAP", 512)
+    POOL = env_int("QF_POOL", 1000)
+    NBEAM = env_int("QF_BEAMS", 10)
+    t0 = time.time()
+    semb = synth.fill_sorted_matrix(spec, tables, draws, doc_ids,
+                                    n_pad_rows=CAP + 8,
+                                    dtype=jnp.float32)
+    semb_h = np.asarray(semb)
+    del semb
+    log(f"sorted matrix: {time.time() - t0:.1f}s "
+        f"({semb_h.nbytes / 2**30:.1f} GiB f32)")
+
+    B = env_int("QF_SHARD_B", 32)
+    dev_docs = np.load(osp.join(workdir, "dev_docs.npy"))[:B]
+    dev_tok = np.load(osp.join(workdir, "dev_tokens.npy"))[:B]
+    ids_q = jnp.asarray(dev_tok.astype(np.int32))
+    mask_q = jnp.ones_like(ids_q)
+    off_dev = jnp.asarray(offsets.astype(np.int64))
+    did_dev = jnp.asarray(doc_ids)
+
+    # --- sharded path (corpus rows split over 4, queries over 2) -----
+    emb_sh = shard_rows(semb_h, mesh)
+    serve = make_sharded_server(tower, nci, mesh,
+                                num_beams=NBEAM, cap=CAP, pool=POOL)
+    ids_sh_q = jax.device_put(
+        np.asarray(ids_q), NamedSharding(mesh, P(DATA_AXIS, None)))
+    mask_sh_q = jax.device_put(
+        np.asarray(mask_q), NamedSharding(mesh, P(DATA_AXIS, None)))
+    t0 = time.time()
+    s_sh, i_sh, c_sh, _ = serve(tower_params, nci_params, ids_sh_q,
+                                mask_sh_q, off_dev, did_dev, emb_sh)
+    i_sh = np.asarray(i_sh)
+    c_sh = np.asarray(c_sh)
+    dt_sh = time.time() - t0
+    log(f"sharded serve {B} queries: {dt_sh:.1f}s")
+
+    # --- single-device path (same beam fn, same fine math) -----------
+    from mevi_tpu.models.t5 import T5Model
+    codes_1, _, _ = nci_beam_search_incremental(
+        nci, nci_params, ids_q, mask_q, NBEAM)
+    qemb_1 = tower.apply({"params": tower_params}, ids_q, mask_q,
+                         method=T5Model.first_token_rep)
+    semb_dev = jnp.asarray(semb_h)
+    _, fids_1, _ = fine_rerank(qemb_1, codes_1, off_dev, did_dev,
+                               semb_dev, spec.kary, CAP, POOL)
+    fids_1 = np.asarray(fids_1)
+    codes_1 = np.asarray(codes_1)
+
+    # --- parity -------------------------------------------------------
+    assert (codes_1 == c_sh).all(), "beam codes diverged across paths"
+
+    def metrics(fids):
+        found = fids[:, :100] == dev_docs[:, None]
+        hit = found.any(1)
+        pos = np.argmax(found, 1)
+        return {"recall@100": round(float(hit.mean()), 4),
+                "mrr@10": round(float(np.where(
+                    hit & (pos < 10), 1.0 / (pos + 1), 0.0).mean()), 4)}
+    m_sh, m_1 = metrics(i_sh), metrics(fids_1)
+    overlap = np.mean([
+        len(set(i_sh[i][i_sh[i] >= 0][:100].tolist())
+            & set(fids_1[i][fids_1[i] >= 0][:100].tolist())) /
+        max(len(set(fids_1[i][fids_1[i] >= 0][:100].tolist())), 1)
+        for i in range(B)])
+    assert m_sh == m_1, f"sharded {m_sh} != single {m_1}"
+    assert overlap > 0.99, f"top-100 id overlap {overlap:.4f}"
+    out = {"metric": "sharded_trained_parity", "n_queries": B,
+           "mesh": {"data": 2, "corpus": 4}, "ndoc": spec.ndoc,
+           "sharded": m_sh, "single": m_1,
+           "top100_overlap": round(float(overlap), 4),
+           "beam_codes_equal": True,
+           "sharded_serve_s": round(dt_sh, 1)}
+    p = osp.join(workdir, "SHARDED_PARITY.json")
+    with open(p, "w") as fw:
+        fw.write(json.dumps(out) + "\n")
+    print(json.dumps(out), flush=True)
+
+
 def main():
     _maybe_force_cpu()
     stages = set(os.environ.get("QF_STAGE", "all").split(","))
@@ -649,6 +775,8 @@ def main():
         stage_tower(spec, workdir, cfg)
     if "eval" in stages:
         stage_eval(spec, workdir, cfg, out_path)
+    if "sharded" in stages:
+        stage_sharded(spec, workdir, cfg, out_path)
 
 
 if __name__ == "__main__":

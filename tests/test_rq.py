@@ -193,3 +193,54 @@ def test_opq_beats_pq_on_rotated_data(rng):
     fresh = np.asarray(rq.assign(jnp.asarray(x @ R.T), jnp.asarray(cbs),
                                  "pq", "l2"))
     assert (fresh == codes).all()
+
+
+def test_rq_train_center_last_spreads_degenerate_leaves(rng):
+    """Data with per-prefix interaction offsets that dominate the
+    shared within-prefix signal: plain k-means makes the last level
+    constant per prefix (observed on the 1M synth corpus: 78% of
+    prefixes collapsed to one leaf); center_last must subdivide."""
+    n, d, K = 4096, 16, 4
+    a = rng.normal(size=(K, d)).astype(np.float32) * 10.0   # level 1
+    b = rng.normal(size=(K, d)).astype(np.float32) * 3.0    # level 2
+    c = rng.normal(size=(K, K, d)).astype(np.float32) * 1.0  # interaction
+    s = rng.normal(size=(K, d)).astype(np.float32) * 0.5    # shared signal
+    i = rng.integers(0, K, n)
+    j = rng.integers(0, K, n)
+    z = rng.integers(0, K, n)
+    x = jnp.asarray(a[i] + b[j] + c[i, j] + s[z]
+                    + 0.02 * rng.normal(size=(n, d)).astype(np.float32))
+
+    def leaf_stats(codes):
+        codes = np.asarray(codes)
+        pref = codes[:, 0].astype(np.int64) * K + codes[:, 1]
+        leaf = pref * K + codes[:, 2]
+        order = np.argsort(pref, kind="stable")
+        bnd = np.flatnonzero(np.diff(pref[order])) + 1
+        groups = np.split(codes[order, 2], bnd)
+        nd = np.array([len(np.unique(g)) for g in groups
+                       if len(g) >= 16])
+        return len(np.unique(leaf)), float((nd == 1).mean())
+
+    _, codes_p = rq.rq_train(x, 3, K, iters=10,
+                             key=jax.random.PRNGKey(0))
+    _, codes_c = rq.rq_train(x, 3, K, iters=10,
+                             key=jax.random.PRNGKey(0),
+                             center_last=True)
+    leaves_p, degen_p = leaf_stats(codes_p)
+    leaves_c, degen_c = leaf_stats(codes_c)
+    assert degen_p > 0.5, f"fixture not degenerate (degen={degen_p})"
+    assert leaves_c > leaves_p * 2, (leaves_p, leaves_c)
+    assert degen_c < 0.2, degen_c
+
+
+def test_rq_train_center_last_assign_consistent(rng):
+    """Codes from center_last training must equal plain assign() with
+    the returned codebooks (serving re-assigns unseen docs that way)."""
+    n, d, K, M = 512, 8, 4, 3
+    x = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    cbs, codes = rq.rq_train(x, M, K, iters=6,
+                             key=jax.random.PRNGKey(3),
+                             center_last=True)
+    re = rq.assign(x, cbs, "rq", "l2")
+    np.testing.assert_array_equal(np.asarray(codes), np.asarray(re))
