@@ -643,8 +643,15 @@ def stage_sharded(spec, workdir, cfg, out_path):
     Run as its OWN process (QF_STAGE=sharded): the 8-device CPU mesh
     needs XLA_FLAGS set before jax initializes.
     """
-    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
-                               + " --xla_force_host_platform_device_count=8")
+    # T5-base per-shard programs skew >40 s across the 8 contending
+    # host threads; XLA's CPU in-process collective aborts the process
+    # at its default rendezvous termination timeout — raise it (the
+    # virtual mesh is a correctness harness, not a perf one)
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+        + " --xla_cpu_collective_timeout_seconds=1800"
+        + " --xla_cpu_collective_call_terminate_timeout_seconds=1800")
     import jax
     jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
