@@ -136,7 +136,13 @@ def run(NDOC, extras):
     NBATCH = int(os.environ.get("BENCH_NBATCH", 20 if on_tpu else 3))
     NBEAM = 10
     POOL = 1000 if on_tpu else 100
-    CAP = 512 if on_tpu else 64
+    # BENCH_CAP: per-cluster row budget of the fine stage.  At big
+    # corpora with skewed buckets the gt doc can sit beyond the cap
+    # (pre-r05 indexes: only ~27k populated leaves at 8.84M docs);
+    # raising it trades bucket-kernel time for fine recall — report
+    # both sides when sweeping.
+    CAP = int(os.environ.get("BENCH_CAP", 512 if on_tpu else 64))
+    extras["cap"] = CAP
     dt = jnp.bfloat16 if on_tpu else jnp.float32
     # corpus precision: bf16 (default) or int8 (halves the index to
     # 6.8 GB at 8.84M docs — full MS-MARCO scale fits one v5e with
@@ -209,8 +215,13 @@ def run(NDOC, extras):
     draws = synth.make_draws(spec)
     fixed_cbs = (np.load(os.path.join(ckpt_dir, "codebooks.npy"))
                  if ckpt_dir else None)
+    shift_p = os.path.join(ckpt_dir, "prefix_shift.npz") if ckpt_dir \
+        else None
+    fixed_shift = (synth.load_prefix_shift(shift_p)
+                   if shift_p and os.path.exists(shift_p) else None)
     cbs_h, codes = synth.fit_rq_codes(spec, tables, draws,
-                                      codebooks=fixed_cbs)
+                                      codebooks=fixed_cbs,
+                                      prefix_shift=fixed_shift)
     cbs = jnp.asarray(cbs_h)
     log(f"corpus draws + RQ fit + assign: {time.time() - t0:.1f}s")
 

@@ -41,6 +41,12 @@ class RQConfig:
     dist_mode: str = "l2"            # 'ip' | 'l2' (main.py:556 default 'l2')
     emb_size: int = 768
     rq_topk_score: str = "prod"      # beam score accumulation (pq.py:664-667)
+    # hierarchical by-residual conditioning (ops/rq.rq_train): each
+    # level quantizes pure within-prefix structure — de-degenerates
+    # leaf buckets when residuals are dominated by per-prefix fit
+    # offsets; adds per-level (kary^i, d) shift tables to the
+    # quantizer artifacts
+    center_levels: bool = False
 
     @property
     def kary(self) -> int:

@@ -119,35 +119,46 @@ def fit_rq_codes(spec: SynthSpec, tables_dev, draws: np.ndarray,
                  cache_base: str = "/tmp/mevi_synth",
                  fit_sample: int = 500_000, iters: int = 8,
                  codebooks: Optional[np.ndarray] = None,
-                 center_last: bool = False,
+                 center_levels: bool = False,
+                 prefix_shift=None,
                  ) -> Tuple[np.ndarray, np.ndarray]:
     """Fit RQ (levels x kary) on a sample and assign every doc; cached
     as npy under the spec's cache dir.  Returns (codebooks (M,K,d) f32
-    np, codes (ndoc, M) int32 np).
+    np, codes (ndoc, M) int32 np).  When conditioning tables are
+    produced (``center_levels``) they are saved next to the cached
+    codebooks as ``prefix_shift.npz`` (keys l1..l{M-1}) — callers that
+    persist the codebooks must persist them too, and the
+    ``codebooks=`` re-assign path must pass them back via
+    ``prefix_shift=`` (list of per-level arrays).
 
     ``codebooks``: skip the fit and assign with these (serving a
     trained bundle over a LARGER corpus of the same generative family —
     codes must come from the codebooks the NCI was trained against).
-    ``center_last``: see ``ops.rq.rq_train`` — de-degenerates the last
-    RQ level so leaf buckets subdivide (cap-truncation fix at scale).
-    Assignment stays plain nearest-centroid either way, so codebooks
-    trained with it serve through the unchanged ``codebooks=`` path.
+    ``center_levels``: see ``ops.rq.rq_train`` — hierarchical
+    by-residual conditioning so leaf buckets subdivide (cap-truncation
+    fix at scale).
     """
     import jax
     import jax.numpy as jnp
     from ..ops import rq as rq_ops
     cdir = spec.cache_dir(cache_base)
-    if center_last and codebooks is None:
-        cdir += "_ctr"
+    if center_levels and codebooks is None:
+        cdir += "_hrq"
     if codebooks is not None:
         import hashlib as _h
-        cdir += "_cb" + _h.sha1(
-            np.ascontiguousarray(codebooks)).hexdigest()[:8]
+        h = _h.sha1(np.ascontiguousarray(codebooks))
+        if prefix_shift is not None:
+            for t in prefix_shift:
+                h.update(np.ascontiguousarray(t))
+        cdir += "_cb" + h.hexdigest()[:8]
     os.makedirs(cdir, exist_ok=True)
     cbs_p = os.path.join(cdir, "codebooks.npy")
     codes_p = os.path.join(cdir, "codes.npy")
+    shift_p = os.path.join(cdir, "prefix_shift.npz")
     if os.path.exists(cbs_p) and os.path.exists(codes_p):
         return np.load(cbs_p), np.load(codes_p)
+    shift_dev = None if prefix_shift is None else \
+        [jnp.asarray(t, jnp.float32) for t in prefix_shift]
     if codebooks is not None:
         cbs = jnp.asarray(codebooks, jnp.float32)
     else:
@@ -155,27 +166,43 @@ def fit_rq_codes(spec: SynthSpec, tables_dev, draws: np.ndarray,
         nfit = min(spec.ndoc, fit_sample)
         sample = gen_rows(tables_dev, jnp.asarray(
             draws[fit_rng.choice(spec.ndoc, size=nfit, replace=False)]))
-        cbs, _ = rq_ops.rq_train(sample, levels=spec.levels,
-                                 kary=spec.kary, iters=iters,
-                                 key=jax.random.PRNGKey(spec.seed + 11),
-                                 center_last=center_last)
+        if center_levels:
+            cbs, _, shift_dev = rq_ops.rq_train(
+                sample, levels=spec.levels, kary=spec.kary, iters=iters,
+                key=jax.random.PRNGKey(spec.seed + 11),
+                center_levels=True)
+            np.savez(shift_p, **{f"l{i + 1}": np.asarray(t, np.float32)
+                                 for i, t in enumerate(shift_dev)})
+        else:
+            cbs, _ = rq_ops.rq_train(
+                sample, levels=spec.levels, kary=spec.kary, iters=iters,
+                key=jax.random.PRNGKey(spec.seed + 11))
         del sample
         cbs = cbs.astype(jnp.float32)
 
     @jax.jit
-    def gen_assign(tables, dr, cbs):
-        return rq_ops.assign(gen_rows(tables, dr), cbs, "rq", "l2")
+    def gen_assign(tables, dr, cbs, shift):
+        return rq_ops.assign(gen_rows(tables, dr), cbs, "rq", "l2",
+                             prefix_shift=shift)
 
     CH = 1 << 19
     codes = np.empty((spec.ndoc, spec.levels), np.int32)
     for s in range(0, spec.ndoc, CH):
         e = min(spec.ndoc, s + CH)
         codes[s:e] = np.asarray(
-            gen_assign(tables_dev, jnp.asarray(draws[s:e]), cbs))
+            gen_assign(tables_dev, jnp.asarray(draws[s:e]), cbs,
+                       shift_dev))
     cbs_h = np.asarray(cbs)
     np.save(cbs_p, cbs_h)
     np.save(codes_p, codes)
     return cbs_h, codes
+
+
+def load_prefix_shift(path: str):
+    """Load a prefix_shift.npz (keys l1..l{M-1}) back into the ordered
+    per-level list ``assign(prefix_shift=...)`` expects."""
+    z = np.load(path)
+    return [z[f"l{i + 1}"] for i in range(len(z.files))]
 
 
 def info_positions(spec: SynthSpec) -> np.ndarray:

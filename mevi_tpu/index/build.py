@@ -92,6 +92,9 @@ class RQIndexArtifacts:
     codebooks: np.ndarray     # (M, K, d)
     codes: np.ndarray         # (n, M)
     fine: FineIndex
+    # per-level conditioning tables (cfg.rq.center_levels): part of the
+    # quantizer — every later assign must subtract them (ops/rq.assign)
+    prefix_shift: Optional[list] = None
 
 
 def build_rq_index(cfg: MEVIConfig, emb: np.ndarray,
@@ -102,35 +105,55 @@ def build_rq_index(cfg: MEVIConfig, emb: np.ndarray,
     """Train RQ codebooks on the embeddings and lay out the fine index."""
     rq = cfg.rq
     key = None
-    codebooks = codes = None
-    akey = cfg.artifact_key("rq_index", len(emb), iters, seed)
+    codebooks = codes = prefix_shift = None
+    center = rq.pq_type == "rq" and getattr(rq, "center_levels", False)
+    M = rq.subvector_num
+    akey = cfg.artifact_key("rq_index", len(emb), iters, seed,
+                            "hrq" if center else "")
     if cache is not None and cache.has(akey, "codebooks.npy"):
         codebooks = cache.load_array(akey, "codebooks.npy")
         codes = cache.load_array(akey, "codes.npy")
+        if center and cache.has(akey, "prefix_shift_1.npy"):
+            prefix_shift = [cache.load_array(akey, f"prefix_shift_{i}.npy")
+                            for i in range(1, M)]
     else:
-        cbs, cds = rq_ops.rq_train(
-            jnp.asarray(emb), levels=rq.subvector_num, kary=rq.kary,
+        out = rq_ops.rq_train(
+            jnp.asarray(emb), levels=M, kary=rq.kary,
             iters=iters, key=jax.random.PRNGKey(seed),
-            dist_mode=rq.dist_mode, pq_type=rq.pq_type)
+            dist_mode=rq.dist_mode, pq_type=rq.pq_type,
+            center_levels=center)
+        if center:
+            cbs, cds, shift = out
+            prefix_shift = [np.asarray(t) for t in shift]
+        else:
+            cbs, cds = out
         codebooks, codes = np.asarray(cbs), np.asarray(cds)
         if cache is not None:
             cache.save_array(akey, "codebooks.npy", codebooks)
             cache.save_array(akey, "codes.npy", codes)
+            if prefix_shift is not None:
+                for i, t in enumerate(prefix_shift):
+                    cache.save_array(akey, f"prefix_shift_{i + 1}.npy", t)
     fine = build_fine_index(codes, emb, rq.kary, dtype=serving_dtype)
-    return RQIndexArtifacts(codebooks, codes, fine)
+    return RQIndexArtifacts(codebooks, codes, fine, prefix_shift)
 
 
 def assign_with_codebooks(cfg: MEVIConfig, emb: np.ndarray,
                           codebooks: np.ndarray,
-                          batch: int = 262144) -> np.ndarray:
+                          batch: int = 262144,
+                          prefix_shift=None) -> np.ndarray:
     """Assign codes with existing codebooks (e.g. mapping a sampled-corpus
-    RQ back to the full corpus, ``gen_sampled_to_full.py:25-99``)."""
+    RQ back to the full corpus, ``gen_sampled_to_full.py:25-99``).
+    ``prefix_shift``: per-level conditioning tables of a
+    ``center_levels`` quantizer."""
     outs = []
     cbs = jnp.asarray(codebooks)
+    shift = None if prefix_shift is None else \
+        [jnp.asarray(t) for t in prefix_shift]
     for s in range(0, len(emb), batch):
         outs.append(np.asarray(rq_ops.assign(
             jnp.asarray(emb[s:s + batch]), cbs,
-            cfg.rq.pq_type, cfg.rq.dist_mode)))
+            cfg.rq.pq_type, cfg.rq.dist_mode, prefix_shift=shift)))
     return np.concatenate(outs)
 
 

@@ -59,30 +59,70 @@ def full_sim(x: jnp.ndarray, cb: jnp.ndarray, dist_mode: str) -> jnp.ndarray:
 
 @partial(jax.jit, static_argnames=("pq_type", "dist_mode"))
 def assign(emb: jnp.ndarray, codebooks: jnp.ndarray,
-           pq_type: str = "rq", dist_mode: str = "l2") -> jnp.ndarray:
-    """Codes (n, M) int32 for a batch of embeddings."""
-    return assign_with_logits(emb, codebooks, pq_type, dist_mode)[0]
+           pq_type: str = "rq", dist_mode: str = "l2",
+           prefix_shift=None) -> jnp.ndarray:
+    """Codes (n, M) int32 for a batch of embeddings.
+
+    ``prefix_shift`` (rq only): per-level by-residual conditioning
+    tables — a sequence of M-1 arrays, the level-i table of shape
+    (K^i, d) keyed by the packed prefix of levels 0..i-1 and
+    subtracted from the residual before level i's argmin (faiss IVF's
+    ``by_residual`` encoding generalized to every RQ level = exact
+    hierarchical residual quantization; see
+    ``rq_train(center_levels=True)``, which produces the tables)."""
+    return assign_with_logits(emb, codebooks, pq_type, dist_mode,
+                              prefix_shift)[0]
 
 
 @partial(jax.jit, static_argnames=("pq_type", "dist_mode"))
 def assign_with_logits(emb: jnp.ndarray, codebooks: jnp.ndarray,
                        pq_type: str = "rq", dist_mode: str = "l2",
+                       prefix_shift=None,
                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Codes (n, M) and per-level similarity logits (n, M, K).
 
     Mirrors ``forward_rq``/``forward_pq`` (``pq.py:319-369``): logits are
     the raw similarity scores (ip or -l2) fed to the PQ-distillation loss.
+    ``prefix_shift``: see :func:`assign`.
     """
     M, K, d = codebooks.shape
     n = emb.shape[0]
     if pq_type == "rq":
-        def body(resid, cb):
-            logit = full_sim(resid, cb, dist_mode)              # (n, K)
+        if prefix_shift is None or M == 1:
+            def body(resid, cb):
+                logit = full_sim(resid, cb, dist_mode)          # (n, K)
+                idx = jnp.argmax(logit, axis=-1).astype(jnp.int32)
+                resid = resid - cb[idx].astype(resid.dtype)
+                return resid, (idx, logit)
+            _, (codes, logits) = jax.lax.scan(body, emb, codebooks)
+            return codes.T, jnp.moveaxis(logits, 0, 1)
+        assert len(prefix_shift) == M - 1, \
+            "prefix_shift: one table per level 1..M-1"
+        resid = emb
+        pref = None
+        codes, logits = [], []
+        for i in range(M):
+            if i > 0:
+                resid = resid - prefix_shift[i - 1][pref] \
+                    .astype(resid.dtype)
+            x = resid
+            if i == M - 1:
+                # spherical last level (center_levels contract): the
+                # centered residual's NORM varies by orders of
+                # magnitude across prefixes (leftover structure vs
+                # within-cluster deviation); quantize its DIRECTION so
+                # small-deviation clouds spread over cells instead of
+                # collapsing into the one nearest zero
+                x = resid / (jnp.linalg.norm(resid, axis=-1,
+                                             keepdims=True) + 1e-12)
+            logit = full_sim(x, codebooks[i], dist_mode)
             idx = jnp.argmax(logit, axis=-1).astype(jnp.int32)
-            resid = resid - cb[idx].astype(resid.dtype)
-            return resid, (idx, logit)
-        _, (codes, logits) = jax.lax.scan(body, emb, codebooks)
-        return codes.T, jnp.moveaxis(logits, 0, 1)
+            codes.append(idx)
+            logits.append(logit)
+            if i < M - 1:
+                resid = resid - codebooks[i][idx].astype(resid.dtype)
+                pref = idx if pref is None else pref * K + idx
+        return (jnp.stack(codes, 1), jnp.stack(logits, 1))
     else:  # pq: split the embedding into M subvectors
         sub = emb.reshape(n, M, d)
         def level(x, cb):
@@ -95,13 +135,25 @@ def assign_with_logits(emb: jnp.ndarray, codebooks: jnp.ndarray,
 
 @partial(jax.jit, static_argnames=("pq_type",))
 def reconstruct(codes: jnp.ndarray, codebooks: jnp.ndarray,
-                pq_type: str = "rq") -> jnp.ndarray:
-    """(n, M) codes -> (n, emb) vectors (``pq.py:768-784``)."""
+                pq_type: str = "rq", prefix_shift=None) -> jnp.ndarray:
+    """(n, M) codes -> (n, emb) vectors (``pq.py:768-784``).
+
+    ``prefix_shift``: per-level conditioning tables of a
+    ``center_levels`` quantizer — added back so reconstruction matches
+    the conditioned assignment's geometry."""
     M, K, d = codebooks.shape
     picked = jax.vmap(lambda cb, c: cb[c], in_axes=(0, 1), out_axes=1)(
         codebooks, codes)                                       # (n, M, d)
     if pq_type == "rq":
-        return jnp.sum(picked, axis=1)
+        out = jnp.sum(picked, axis=1)
+        if prefix_shift is not None and M > 1:
+            pref = codes[:, 0].astype(jnp.int32)
+            for i in range(1, M):
+                out = out + prefix_shift[i - 1][pref].astype(out.dtype)
+                if i < M - 1:
+                    pref = pref * K + codes[:, i]
+            return out
+        return out
     return picked.reshape(codes.shape[0], M * d)
 
 
@@ -147,7 +199,7 @@ def rq_train(
     pq_type: str = "rq",
     chunk: int = 65536,
     init_codebooks: Optional[jnp.ndarray] = None,
-    center_last: bool = False,
+    center_levels: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Train codebooks with per-level k-means over residuals.
 
@@ -156,57 +208,90 @@ def rq_train(
     (rq) or on the i-th subvector (pq).  Returns (codebooks (M,K,d),
     codes (n, M)).
 
-    ``center_last`` (rq only): fit the LAST level's k-means on
-    residuals with their per-prefix mean removed (prefix = codes of
-    levels 0..M-2), then assign normally.  When the level-(M-1)
-    residual is dominated by a per-cluster fit offset rather than
-    within-cluster variation, plain k-means makes the last level
-    degenerate — every doc of a cluster gets the same last code, so
-    leaf buckets never subdivide (measured on the 1M synth corpus:
-    78% of populated prefixes collapsed to ONE leaf; serving then
-    cap-truncates large buckets).  Centering makes the last level
-    model the within-cluster signal while codebook format, assignment
-    (plain nearest-centroid) and reconstruction semantics stay
-    standard RQ.  Requires kary^(levels-1) segment ids; supported up
-    to 2^20 prefixes.
+    ``center_levels`` (rq only): per-level by-residual conditioning —
+    exact hierarchical residual quantization.  On clustered corpora
+    the level-i residual is dominated by a per-PREFIX offset (the
+    additive codebooks' fit error for that prefix) rather than
+    within-prefix variation, so plain k-means degenerates: every doc
+    of a prefix gets the same next code and leaf buckets never
+    subdivide (measured on the 1M synth corpus: 78% of populated
+    prefixes collapsed to ONE leaf, 27k leaves of a possible 1M;
+    conditioning only the LAST level regrouped but still did not
+    split, because 3-level prefixes were coarser than the true
+    cluster structure).  With ``center_levels`` each level i >= 1
+    gains a shift table ((kary^i, d) f32, the per-prefix residual
+    mean — zero for unseen prefixes) subtracted before that level's
+    k-means at fit AND assign time (``assign(prefix_shift=[...])``) —
+    faiss IVF's ``by_residual`` encoding relative to the list
+    centroid, applied at every level, so each level quantizes pure
+    WITHIN-prefix structure.  Returns (codebooks, codes,
+    prefix_shift list).  Requires kary^(levels-1) <= 2^20 prefixes.
     """
     if key is None:
         key = jax.random.PRNGKey(0)
     n, emb_size = emb.shape
     cbs = []
     codes = []
+    shifts = []
     if pq_type == "rq":
+        if center_levels:
+            assert kary ** (levels - 1) <= (1 << 20), \
+                "center_levels: too many prefixes to segment"
         resid = emb
+        pref = None
         for i in range(levels):
             key, sub = jax.random.split(key)
             init_c = None if init_codebooks is None else init_codebooks[i]
-            fit_on = resid
-            if center_last and i == levels - 1 and levels > 1:
-                n_pref = kary ** (levels - 1)
-                assert n_pref <= (1 << 20), \
-                    "center_last: too many prefixes to segment"
-                pref = codes[0].astype(jnp.int32)
-                for j in range(1, levels - 1):
-                    pref = pref * kary + codes[j]
+            if center_levels and i >= 1:
+                n_pref = kary ** i
                 rf = resid.astype(jnp.float32)
                 sums = jax.ops.segment_sum(rf, pref,
                                            num_segments=n_pref)
                 cnt = jax.ops.segment_sum(
                     jnp.ones((n,), jnp.float32), pref,
                     num_segments=n_pref)
-                means = sums / jnp.maximum(cnt, 1.0)[:, None]
-                fit_on = (rf - means[pref]).astype(resid.dtype)
-            cb, a = kmeans_fit(fit_on, kary, iters=iters, key=sub,
-                               dist_mode=dist_mode, chunk=chunk,
-                               init_centroids=init_c)
-            if fit_on is not resid:
-                # plain assignment on the RAW residual — identical to
-                # what ops.rq.assign will produce for unseen docs
-                a = assign(resid, cb[None], "rq", dist_mode)[:, 0]
+                shift = sums / jnp.maximum(cnt, 1.0)[:, None]
+                shifts.append(shift)
+                resid = (rf - shift[pref]).astype(resid.dtype)
+            if center_levels and i == levels - 1 and levels > 1:
+                # spherical last level: the centered residual's norm
+                # varies by orders of magnitude across prefixes
+                # (multi-cluster leftovers vs within-cluster
+                # deviations); plain k-means spends every centroid on
+                # the big-norm structure and the small clouds collapse
+                # into the cell nearest zero (measured: 81% of big
+                # prefixes kept ONE last-level code even after
+                # conditioning).  Fit on unit directions, then rescale
+                # each centroid to the mean raw radius of its members
+                # so reconstruction keeps a sensible magnitude; the
+                # assignment rule (normalize, then full_sim against
+                # the stored centroids) is replicated bit-for-bit in
+                # ``assign(prefix_shift=...)``.
+                norms = jnp.linalg.norm(resid, axis=-1, keepdims=True)
+                rn = resid / (norms + 1e-12)
+                cb, a0 = kmeans_fit(rn, kary, iters=iters, key=sub,
+                                    dist_mode=dist_mode, chunk=chunk,
+                                    init_centroids=init_c)
+                rad = (jax.ops.segment_sum(norms[:, 0], a0,
+                                           num_segments=kary)
+                       / jnp.maximum(jax.ops.segment_sum(
+                           jnp.ones((n,), norms.dtype), a0,
+                           num_segments=kary), 1.0))
+                cb = cb / (jnp.linalg.norm(cb, axis=-1, keepdims=True)
+                           + 1e-12) * rad[:, None]
+                a = jnp.argmax(full_sim(rn, cb, dist_mode),
+                               -1).astype(jnp.int32)
+            else:
+                cb, a = kmeans_fit(resid, kary, iters=iters, key=sub,
+                                   dist_mode=dist_mode, chunk=chunk,
+                                   init_centroids=init_c)
             cbs.append(cb)
             codes.append(a)
             if i != levels - 1:
                 resid = resid - cb[a].astype(resid.dtype)
+                if center_levels:
+                    pref = a.astype(jnp.int32) if pref is None \
+                        else pref * kary + a
     else:
         d = emb_size // levels
         for i in range(levels):
@@ -217,7 +302,10 @@ def rq_train(
                                init_centroids=init_c)
             cbs.append(cb)
             codes.append(a)
-    return jnp.stack(cbs), jnp.stack(codes, axis=1).astype(jnp.int32)
+    stacked = jnp.stack(cbs), jnp.stack(codes, axis=1).astype(jnp.int32)
+    if center_levels:
+        return stacked[0], stacked[1], shifts
+    return stacked
 
 
 def opq_train(

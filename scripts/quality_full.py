@@ -136,9 +136,9 @@ def stage_data(spec, workdir):
     # center_last (default on since r05): without it the last RQ level
     # was degenerate (78% of prefixes -> ONE leaf) and big-corpus
     # serving cap-truncated the buckets; see ops.rq.rq_train
-    cbs, codes = synth.fit_rq_codes(
-        spec, tables, draws,
-        center_last=os.environ.get("QF_RQ_CENTER", "1") == "1")
+    center = os.environ.get("QF_RQ_CENTER", "1") == "1"
+    cbs, codes = synth.fit_rq_codes(spec, tables, draws,
+                                    center_levels=center)
     log(f"RQ fit+assign: {time.time() - t0:.1f}s")
     leaves = len(np.unique(
         (codes.astype(np.int64) *
@@ -146,6 +146,13 @@ def stage_data(spec, workdir):
     log(f"distinct leaf codes: {leaves}")
     np.save(osp.join(workdir, "codebooks.npy"), cbs)
     np.save(osp.join(workdir, "codes.npy"), codes)
+    if center:
+        # the conditioning tables are part of the quantizer: bench's
+        # bigger-corpus re-assign must subtract them (synth.py
+        # fit_rq_codes(prefix_shift=...))
+        shift_p = osp.join(spec.cache_dir() + "_hrq", "prefix_shift.npz")
+        import shutil
+        shutil.copyfile(shift_p, osp.join(workdir, "prefix_shift.npz"))
 
     U = env_int("QF_UTT", 4)
     n_rows = spec.ndoc * U
@@ -314,7 +321,14 @@ def stage_tower(spec, workdir, cfg):
                 # mean — the oracle tower of eval/ceiling.py
                 pos = pf[::(1 + HN)]
                 align = jnp.mean(1.0 - jnp.sum(qn * pos, -1))
-                return loss + align_w * align
+                # gentle ||q|| ~ 1 pull: per-query ranking is norm-
+                # invariant but the ensemble fusion adds ABSOLUTE
+                # bonuses to raw scores (ensemble_marco.py:235-238), so
+                # score scales should be comparable across queries
+                nw = float(os.environ.get("QF_TOWER_NORM_W", 0.01))
+                norms = jnp.linalg.norm(qf, axis=-1)
+                norm_pen = jnp.mean((norms - 1.0) ** 2)
+                return loss + align_w * align + nw * norm_pen
             loss, grads = jax.value_and_grad(lf)(params)
             updates, opt_state = opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
@@ -595,6 +609,25 @@ def stage_eval(spec, workdir, cfg, out_path):
     ceil = ceiling_report(spec, tab, draws, codes,
                           dev_tok[:n_ceil], dev_docs[:n_ceil])
 
+    # checkpoint-board provenance: which monitor ranked the served NCI
+    # checkpoint (the reference's recall-monitored ModelCheckpoint,
+    # MEVI/main.py:89-170) and the board itself (best-vs-rest visible)
+    ckpt_meta = {}
+    board_dir = osp.join(cfg.ckpt_dir, "nci")
+    try:
+        with open(osp.join(board_dir, "leaderboard.meta.json")) as fr:
+            ckpt_meta = json.load(fr)
+        with open(osp.join(board_dir, "leaderboard.json")) as fr:
+            ckpt_meta["board"] = json.load(fr)
+    except Exception:
+        pass
+    tower_meta = {}
+    try:
+        with open(osp.join(workdir, "tower_meta.json")) as fr:
+            tower_meta = json.load(fr)
+    except Exception:
+        pass
+
     out = {
         "config": "T5-base NCI (12+6, d=768, PAWA-4) + t5-base tower, "
                   "RQ 4x32" if not os.environ.get("QF_TINY")
@@ -626,6 +659,8 @@ def stage_eval(spec, workdir, cfg, out_path):
             rec[100] / max(ceil["oracle_tower_recall@100"], 1e-9), 4),
         "coarse_hit@10_vs_bayes": round(
             hit10 / max(ceil["bayes_coarse_hit@10"], 1e-9), 4),
+        "nci_ckpt": ckpt_meta,
+        "tower_ckpt": tower_meta,
     }
     with open(out_path, "w") as fw:
         fw.write(json.dumps(out) + "\n")

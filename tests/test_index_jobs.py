@@ -169,3 +169,22 @@ def test_bucket_v3_kernel_interpret_matches_oracle(rng):
     np.testing.assert_allclose(np.asarray(s_k)[valid],
                                np.asarray(s_o)[valid], rtol=1e-5,
                                atol=1e-4)
+
+def test_build_rq_index_center_last_shift_roundtrip():
+    """cfg.rq.center_last: build returns the conditioning table and
+    assign_with_codebooks(prefix_shift=...) reproduces the codes."""
+    import dataclasses as dc
+    cfg = MEVIConfig(rq=RQConfig(subvector_num=3, subvector_bits=2,
+                                 emb_size=16, center_levels=True))
+    cfg.encoder.d_model = 16
+    cfg = cfg.finalize()
+    rng = np.random.default_rng(7)
+    emb = rng.normal(size=(300, 16)).astype(np.float32)
+    art = B.build_rq_index(cfg, emb, iters=4)
+    assert art.prefix_shift is not None
+    K, M = cfg.rq.kary, cfg.rq.subvector_num
+    assert [t.shape for t in art.prefix_shift] == \
+        [(K ** i, cfg.rq.emb_size) for i in range(1, M)]
+    re2 = B.assign_with_codebooks(cfg, emb, art.codebooks,
+                                  prefix_shift=art.prefix_shift)
+    np.testing.assert_array_equal(re2, art.codes)

@@ -195,11 +195,12 @@ def test_opq_beats_pq_on_rotated_data(rng):
     assert (fresh == codes).all()
 
 
-def test_rq_train_center_last_spreads_degenerate_leaves(rng):
+def test_rq_train_center_levels_spreads_degenerate_leaves(rng):
     """Data with per-prefix interaction offsets that dominate the
     shared within-prefix signal: plain k-means makes the last level
     constant per prefix (observed on the 1M synth corpus: 78% of
-    prefixes collapsed to one leaf); center_last must subdivide."""
+    prefixes collapsed to one leaf); center_levels (hierarchical
+    by-residual conditioning) must subdivide."""
     n, d, K = 4096, 16, 4
     a = rng.normal(size=(K, d)).astype(np.float32) * 10.0   # level 1
     b = rng.normal(size=(K, d)).astype(np.float32) * 3.0    # level 2
@@ -224,9 +225,10 @@ def test_rq_train_center_last_spreads_degenerate_leaves(rng):
 
     _, codes_p = rq.rq_train(x, 3, K, iters=10,
                              key=jax.random.PRNGKey(0))
-    _, codes_c = rq.rq_train(x, 3, K, iters=10,
-                             key=jax.random.PRNGKey(0),
-                             center_last=True)
+    _, codes_c, shifts = rq.rq_train(x, 3, K, iters=10,
+                                     key=jax.random.PRNGKey(0),
+                                     center_levels=True)
+    assert [t.shape for t in shifts] == [(K, d), (K * K, d)]
     leaves_p, degen_p = leaf_stats(codes_p)
     leaves_c, degen_c = leaf_stats(codes_c)
     assert degen_p > 0.5, f"fixture not degenerate (degen={degen_p})"
@@ -234,13 +236,20 @@ def test_rq_train_center_last_spreads_degenerate_leaves(rng):
     assert degen_c < 0.2, degen_c
 
 
-def test_rq_train_center_last_assign_consistent(rng):
-    """Codes from center_last training must equal plain assign() with
-    the returned codebooks (serving re-assigns unseen docs that way)."""
+def test_rq_train_center_levels_assign_consistent(rng):
+    """Codes from center_levels training must equal
+    assign(prefix_shift=...) with the returned tables (serving
+    re-assigns unseen docs that way), and reconstruction with the
+    shifts must beat reconstruction without them."""
     n, d, K, M = 512, 8, 4, 3
     x = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
-    cbs, codes = rq.rq_train(x, M, K, iters=6,
-                             key=jax.random.PRNGKey(3),
-                             center_last=True)
-    re = rq.assign(x, cbs, "rq", "l2")
+    cbs, codes, shifts = rq.rq_train(x, M, K, iters=6,
+                                     key=jax.random.PRNGKey(3),
+                                     center_levels=True)
+    re = rq.assign(x, cbs, "rq", "l2", prefix_shift=shifts)
     np.testing.assert_array_equal(np.asarray(codes), np.asarray(re))
+    rec_s = rq.reconstruct(codes, cbs, "rq", prefix_shift=shifts)
+    rec_p = rq.reconstruct(codes, cbs, "rq")
+    err_s = float(jnp.mean(jnp.sum((x - rec_s) ** 2, -1)))
+    err_p = float(jnp.mean(jnp.sum((x - rec_p) ** 2, -1)))
+    assert err_s <= err_p + 1e-6
