@@ -21,6 +21,14 @@ probe() {
 wait_up() {
   while true; do
     [ -f /tmp/tpu_up ] && return 0
+    # a separate watcher owns probing while alive (avoid two clients
+    # racing for the single chip claim); its pid is exported as
+    # R05_WATCHER_PID by the launcher
+    if [ -n "${R05_WATCHER_PID:-}" ] && [ -e "/proc/$R05_WATCHER_PID" ]
+    then
+      sleep 120
+      continue
+    fi
     log "probing chip..."
     probe && { touch /tmp/tpu_up; return 0; }
     log "chip down; sleeping 240s"
@@ -76,6 +84,10 @@ for attempt in 1 2 3 4 5 6 7 8; do
 
   run_stage nqadc 4200 env NQ_STAGE=adc \
     python scripts/nq_scale_demo.py || continue
+
+  # CPU-only: DP-infer parity of the fresh bundle on the virtual mesh
+  run_stage sharded_r05 7200 env QF_STAGE=sharded QF_SHARD_B=16 \
+    QF_WORKDIR=$W python scripts/quality_full.py || continue
 
   log "=== all stages done ==="
   touch /tmp/r05_all_done
