@@ -368,8 +368,11 @@ def run(NDOC, extras):
         extras[key] = round(float(rec), 4)
         return rec
 
+    shift_dev = None if fixed_shift is None else \
+        [jnp.asarray(t) for t in fixed_shift]
     bcodes, _ = rq_ops.beam_search(jnp.asarray(q_emb), cbs,
-                                   num_beams=NBEAM, dist_mode="l2")
+                                   num_beams=NBEAM, dist_mode="l2",
+                                   prefix_shift=shift_dev)
     rec_b = cluster_recall(np.asarray(bcodes), "recall100_beam_coarse")
     # coverage-optimal oracle clusters: rank clusters by how many of the
     # exact top-100 docs they hold; any NBEAM-cluster coarse proposal

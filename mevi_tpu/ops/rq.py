@@ -432,6 +432,7 @@ def ema_update(state: EMAState, codebooks: jnp.ndarray,
 def beam_search(emb: jnp.ndarray, codebooks: jnp.ndarray,
                 num_beams: int, pq_type: str = "rq",
                 dist_mode: str = "l2", score_mode: str = "prod",
+                prefix_shift=None,
                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Top-``num_beams`` code sequences per embedding.
 
@@ -439,6 +440,12 @@ def beam_search(emb: jnp.ndarray, codebooks: jnp.ndarray,
     running beam score ('prod', ``pq.py:663-667``), keep top beams,
     subtract the chosen centroid from each beam's residual.  Returns
     (codes (n, B, M) int32, scores (n, B) float32).
+
+    ``prefix_shift`` (rq): the conditioning tables of a
+    ``center_levels`` quantizer — each beam subtracts its prefix's
+    shift before scoring a level, and the last level scores the
+    residual DIRECTION (the ``assign`` contract), so beam top-1
+    equals conditioned assignment.
     """
     M, K, d = codebooks.shape
     n = emb.shape[0]
@@ -456,11 +463,19 @@ def beam_search(emb: jnp.ndarray, codebooks: jnp.ndarray,
     codes = idx0[:, :, None].astype(jnp.int32)                  # (n, B, 1)
     if pq_type == "rq":
         resid = emb[:, None, :] - codebooks[0][idx0].astype(emb.dtype)
+    pref = idx0.astype(jnp.int32) if prefix_shift is not None else None
 
     for lvl in range(1, M):
         cb = codebooks[lvl]
         if pq_type == "rq":
-            sim = full_sim(resid.reshape(n * B, -1), cb,
+            r = resid
+            if prefix_shift is not None:
+                r = r - prefix_shift[lvl - 1][pref].astype(r.dtype)
+            if prefix_shift is not None and lvl == M - 1:
+                # spherical last level (assign contract)
+                r = r / (jnp.linalg.norm(r, axis=-1, keepdims=True)
+                         + 1e-12)
+            sim = full_sim(r.reshape(n * B, -1), cb,
                            dist_mode).reshape(n, B, K)
         else:
             sub = emb[:, lvl * d:(lvl + 1) * d]
@@ -481,6 +496,13 @@ def beam_search(emb: jnp.ndarray, codebooks: jnp.ndarray,
         if pq_type == "rq" and lvl != M - 1:
             resid = jnp.take_along_axis(
                 resid, beam_idx[:, :, None], axis=1)
+            if prefix_shift is not None:
+                resid = resid - prefix_shift[lvl - 1][
+                    jnp.take_along_axis(pref, beam_idx, axis=1)
+                ].astype(resid.dtype)
             resid = resid - cb[code_idx].astype(resid.dtype)
+        if pref is not None and lvl != M - 1:
+            pref = jnp.take_along_axis(pref, beam_idx, axis=1) * K \
+                + code_idx
 
     return codes, scores

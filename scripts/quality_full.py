@@ -756,13 +756,27 @@ def stage_sharded(spec, workdir, cfg, out_path):
     qemb_1 = tower.apply({"params": tower_params}, ids_q, mask_q,
                          method=T5Model.first_token_rep)
     semb_dev = jnp.asarray(semb_h)
-    _, fids_1, _ = fine_rerank(qemb_1, codes_1, off_dev, did_dev,
-                               semb_dev, spec.kary, CAP, POOL)
+    fs_1, fids_1, _ = fine_rerank(qemb_1, codes_1, off_dev, did_dev,
+                                  semb_dev, spec.kary, CAP, POOL)
     fids_1 = np.asarray(fids_1)
+    fs_1 = np.asarray(fs_1, np.float32)
     codes_1 = np.asarray(codes_1)
+    s_sh = np.asarray(s_sh, np.float32)
 
     # --- parity -------------------------------------------------------
     assert (codes_1 == c_sh).all(), "beam codes diverged across paths"
+
+    def canonical(ids_, scores_):
+        """The two paths produce identical (score, id) multisets but
+        different tie order (duplicate-beam duplicates rank in
+        local-then-global top-k order on the mesh); canonicalize by
+        (-score, id) so metrics compare the retrieval CONTENT."""
+        out = np.full((B, 100), -1, ids_.dtype)
+        for i in range(B):
+            keep = ids_[i] >= 0
+            order = np.lexsort((ids_[i][keep], -scores_[i][keep]))
+            out[i, :min(100, keep.sum())] = ids_[i][keep][order][:100]
+        return out
 
     def metrics(fids):
         found = fids[:, :100] == dev_docs[:, None]
@@ -771,11 +785,13 @@ def stage_sharded(spec, workdir, cfg, out_path):
         return {"recall@100": round(float(hit.mean()), 4),
                 "mrr@10": round(float(np.where(
                     hit & (pos < 10), 1.0 / (pos + 1), 0.0).mean()), 4)}
-    m_sh, m_1 = metrics(i_sh), metrics(fids_1)
+    c_i_sh = canonical(i_sh, s_sh)
+    c_i_1 = canonical(fids_1, fs_1)
+    m_sh, m_1 = metrics(c_i_sh), metrics(c_i_1)
     overlap = np.mean([
-        len(set(i_sh[i][i_sh[i] >= 0][:100].tolist())
-            & set(fids_1[i][fids_1[i] >= 0][:100].tolist())) /
-        max(len(set(fids_1[i][fids_1[i] >= 0][:100].tolist())), 1)
+        len(set(c_i_sh[i][c_i_sh[i] >= 0].tolist())
+            & set(c_i_1[i][c_i_1[i] >= 0].tolist())) /
+        max(len(set(c_i_1[i][c_i_1[i] >= 0].tolist())), 1)
         for i in range(B)])
     assert m_sh == m_1, f"sharded {m_sh} != single {m_1}"
     assert overlap > 0.99, f"top-100 id overlap {overlap:.4f}"

@@ -253,3 +253,18 @@ def test_rq_train_center_levels_assign_consistent(rng):
     err_s = float(jnp.mean(jnp.sum((x - rec_s) ** 2, -1)))
     err_p = float(jnp.mean(jnp.sum((x - rec_p) ** 2, -1)))
     assert err_s <= err_p + 1e-6
+
+
+def test_beam_top1_equals_assign_conditioned(rng):
+    """Codebook beam with prefix_shift must reduce to the conditioned
+    assignment at num_beams=1 (the coarse stand-in stays faithful for
+    center_levels quantizers)."""
+    n, d, K, M = 256, 12, 4, 3
+    x = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    cbs, codes, shifts = rq.rq_train(x, M, K, iters=6,
+                                     key=jax.random.PRNGKey(5),
+                                     center_levels=True)
+    bcodes, _ = rq.beam_search(x, cbs, num_beams=1,
+                               prefix_shift=shifts)
+    np.testing.assert_array_equal(np.asarray(bcodes)[:, 0, :],
+                                  np.asarray(codes))
