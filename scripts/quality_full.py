@@ -703,6 +703,14 @@ def stage_sharded(spec, workdir, cfg, out_path):
 
     assert len(jax.devices()) >= 8, "needs the 8-virtual-device mesh"
     mesh = make_mesh(8, corpus=4)
+    # f32 compute for the parity harness: the serving bundles run bf16,
+    # and bf16 forwards at different batch shapes round differently
+    # (measured: fine-score diffs up to 2e-2 on scores ~23 purely from
+    # the data-sharded tower batch) — parity must compare the PATHS,
+    # not the rounding
+    import dataclasses as _dc
+    cfg = _dc.replace(cfg, model=_dc.replace(cfg.model, dtype="float32"),
+                      encoder=_dc.replace(cfg.encoder, dtype="float32"))
     nci = NCIT5(_nci_dims(cfg, dropout=0.0))
     nci_params = _load_nci_params(workdir, cfg)
     tower = _tower(cfg)
@@ -788,6 +796,10 @@ def stage_sharded(spec, workdir, cfg, out_path):
     c_i_sh = canonical(i_sh, s_sh)
     c_i_1 = canonical(fids_1, fs_1)
     m_sh, m_1 = metrics(c_i_sh), metrics(c_i_1)
+    if m_sh != m_1 or os.environ.get("QF_SHARD_DUMP"):
+        np.savez(osp.join(workdir, "sharded_debug.npz"),
+                 i_sh=i_sh, s_sh=s_sh, fids_1=fids_1, fs_1=fs_1,
+                 dev_docs=dev_docs, c_i_sh=c_i_sh, c_i_1=c_i_1)
     overlap = np.mean([
         len(set(c_i_sh[i][c_i_sh[i] >= 0].tolist())
             & set(c_i_1[i][c_i_1[i] >= 0].tolist())) /
