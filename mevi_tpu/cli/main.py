@@ -170,6 +170,13 @@ def cmd_build_index(args):
     os.makedirs(args.output_dir, exist_ok=True)
     np.save(osp.join(args.output_dir, "rq_codebooks.npy"), arts.codebooks)
     np.save(osp.join(args.output_dir, "rq_codes.npy"), arts.codes)
+    if arts.prefix_shift is not None:
+        # conditioning tables are part of the quantizer (cfg.rq
+        # center_levels) — consumers re-assigning new docs must load
+        # them (ops/rq.assign prefix_shift)
+        np.savez(osp.join(args.output_dir, "rq_prefix_shift.npz"),
+                 **{f"l{i + 1}": t
+                    for i, t in enumerate(arts.prefix_shift)})
     np.save(osp.join(args.output_dir, "csr_offsets.npy"),
             np.asarray(arts.fine.offsets))
     np.save(osp.join(args.output_dir, "csr_doc_ids.npy"),
