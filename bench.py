@@ -419,6 +419,10 @@ def run(NDOC, extras):
         found = (ids_ == gt_docs[:, None])
         extras["trained_fine_recall@100"] = round(
             float(found[:, :100].any(1).mean()), 4)
+        pos_ = np.argmax(found, 1)
+        hit_ = found.any(1)
+        extras["trained_fine_mrr@10"] = round(float(np.where(
+            hit_ & (pos_ < 10), 1.0 / (pos_ + 1), 0.0).mean()), 4)
         extras["trained_ndoc_per_query"] = round(float(ndoc_.mean()), 1)
         log(f"trained pipeline: coarse hit@10 "
             f"{extras['trained_coarse_hit@10']} fine recall@100 "

@@ -77,7 +77,7 @@ for attempt in 1 2 3 4 5 6 7 8; do
     bash -c 'python bench.py > /root/repo/BENCH_verify_r05.json' \
     || continue
 
-  run_stage scaling 9000 env BENCH_CKPT=$W \
+  run_stage scaling 12000 env BENCH_CKPT=$W SC_CAPS=1024,2048 \
     python scripts/scaling_curve.py || continue
 
   run_stage beamtrace 3000 python scripts/beam_trace.py || continue

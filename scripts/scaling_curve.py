@@ -22,8 +22,9 @@ import time
 
 REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
 KEEP = ("ndoc", "trained_coarse_hit@1", "trained_coarse_hit@10",
-        "trained_fine_recall@100", "trained_ndoc_per_query",
-        "cluster_sizes", "value", "corpus_dtype", "batch")
+        "trained_fine_recall@100", "trained_fine_mrr@10",
+        "trained_ndoc_per_query", "cluster_sizes", "value",
+        "corpus_dtype", "batch", "cap")
 
 
 def log(*a):
@@ -40,12 +41,22 @@ def main():
     timeout = int(os.environ.get("SC_TIMEOUT", 3000))
     os.makedirs(side_dir, exist_ok=True)
 
-    for ndoc in sizes:
-        side_p = osp.join(side_dir, f"size_{ndoc}_{dtype}.json")
+    # optional cap sweep at the largest size (the recall/throughput
+    # trade of the fine-stage row budget): SC_CAPS="1024,2048"
+    jobs = [(n, None) for n in sizes]
+    for cap in [int(c) for c in os.environ.get("SC_CAPS", "").split(",")
+                if c]:
+        jobs.append((sizes[-1], cap))
+
+    for ndoc, cap in jobs:
+        tag = f"size_{ndoc}_{dtype}" + (f"_cap{cap}" if cap else "")
+        side_p = osp.join(side_dir, f"{tag}.json")
         if osp.exists(side_p) and not os.environ.get("SC_FRESH"):
-            log(f"size {ndoc}: cached")
+            log(f"{tag}: cached")
             continue
         env = dict(os.environ, BENCH_CHILD=str(ndoc), BENCH_DTYPE=dtype)
+        if cap:
+            env["BENCH_CAP"] = str(cap)
         t0 = time.time()
         try:
             r = subprocess.run(
@@ -70,8 +81,9 @@ def main():
             f"({row['secs']}s)")
 
     rows = []
-    for ndoc in sizes:
-        side_p = osp.join(side_dir, f"size_{ndoc}_{dtype}.json")
+    for ndoc, cap in jobs:
+        tag = f"size_{ndoc}_{dtype}" + (f"_cap{cap}" if cap else "")
+        side_p = osp.join(side_dir, f"{tag}.json")
         if osp.exists(side_p):
             with open(side_p) as fr:
                 rows.append(json.load(fr))
