@@ -113,6 +113,25 @@ def run_ensemble(
 # NQ answer-set evaluation (ensemble_nqdpr.py:9-47)
 # --------------------------------------------------------------------------
 
+def rrf_fuse(leg_preds: Sequence[Mapping[str, Sequence[int]]],
+             k: int = 60) -> Dict[str, Dict[int, float]]:
+    """Reciprocal-rank fusion of ranked lists: fused(doc) =
+    sum over legs of 1/(k + rank).  A rank-space alternative to the
+    reference's score-space fusion (``ensemble_marco.py:235-238``);
+    beyond-parity option — robust when leg score scales differ."""
+    out: Dict[str, Dict[int, float]] = {}
+    queries = set()
+    for leg in leg_preds:
+        queries.update(leg.keys())
+    for q in queries:
+        sq: Dict[int, float] = {}
+        for leg in leg_preds:
+            for r, doc in enumerate(leg.get(q, ())):
+                sq[doc] = sq.get(doc, 0.0) + 1.0 / (k + r + 1)
+        out[q] = sq
+    return out
+
+
 class AnswerIndex:
     """Inverted doc -> answering-query arrays
     (``test_inverse_{offsets,array}.bin``,

@@ -602,12 +602,37 @@ def stage_eval(spec, workdir, cfg, out_path):
     best_w = max(ens, key=lambda w: (ens[w]["recall"][100],
                                      ens[w]["mrr"][10]))
     ens_b = ens[best_w]
+    # reciprocal-rank fusion (beyond-parity rank-space alternative)
+    from mevi_tpu.eval.ensemble import rrf_fuse
+    from mevi_tpu.eval.metrics import evaluate_scores
+    rrf = evaluate_scores(gts, rrf_fuse([ance_preds, fine_preds]),
+                          recall_ks=(10, 100))
 
     # data ceiling (Bayes + posterior-mean oracle tower) on the same
     # dev slice — trained numbers are reported measured/ceiling
     from mevi_tpu.eval.ceiling import ceiling_report
     ceil = ceiling_report(spec, tab, draws, codes,
                           dev_tok[:n_ceil], dev_docs[:n_ceil])
+
+    # served-fine with the ORACLE tower embeddings + the TRAINED beam's
+    # clusters: isolates the beam's contribution from the tower's (what
+    # the pipeline would retrieve if the tower were perfect)
+    from mevi_tpu.eval.ceiling import observed_info, \
+        oracle_tower_embeddings
+    from mevi_tpu.eval.searcher import fine_rerank
+    q_orc = oracle_tower_embeddings(
+        spec, tab, observed_info(spec, dev_tok[:n_ceil]))
+    _, orc_ids, _ = fine_rerank(
+        jnp.asarray(q_orc).astype(dt), jnp.asarray(beam_codes[:n_ceil]),
+        fine.offsets, fine.doc_ids, fine.sorted_emb, spec.kary, CAP, 100)
+    orc_found = np.asarray(orc_ids) == dev_docs[:n_ceil, None]
+    orc_pos = np.argmax(orc_found, 1)
+    orc_hit = orc_found.any(1)
+    oracle_fine = {
+        "recall@100": round(float(orc_hit.mean()), 4),
+        "mrr@10": round(float(np.where(orc_hit & (orc_pos < 10),
+                                       1.0 / (orc_pos + 1), 0.0)
+                              .mean()), 4)}
 
     # checkpoint-board provenance: which monitor ranked the served NCI
     # checkpoint (the reference's recall-monitored ModelCheckpoint,
@@ -649,6 +674,9 @@ def stage_eval(spec, workdir, cfg, out_path):
         "ann_recall@100": round(ceil100, 4),
         "ann_mrr@10": round(ann_mrr10, 4),
         "overlap_ann_fine@100": round(overlap100, 4),
+        "ensemble_rrf_recall@100": round(rrf["recall"][100], 4),
+        "ensemble_rrf_mrr@10": round(rrf["mrr"][10], 4),
+        "oracle_tower_served_fine": oracle_fine,
         "ndoc_per_query": round(float(ndoc.mean()), 1),
         "serve_s_for_n_dev": round(dt_serve, 2),
         "beams": NBEAM, "cap": CAP, "pool": POOL,

@@ -145,3 +145,18 @@ def test_first_hit_ranks_batched_matches_scalar(rng):
                 want = j
                 break
         assert got[b] == (-1 if want is None else want), b
+
+
+def test_rrf_fuse_ranks_consensus_docs_first():
+    from mevi_tpu.eval.ensemble import rrf_fuse
+    a = {"q": [1, 2, 3]}
+    b = {"q": [2, 9, 1]}
+    fused = rrf_fuse([a, b], k=10)["q"]
+    order = sorted(fused, key=lambda d: -fused[d])
+    # doc 2 (ranks 2,1) and doc 1 (ranks 1,3) beat single-leg docs
+    assert order[0] in (1, 2) and order[1] in (1, 2)
+    assert set(order[:2]) == {1, 2}
+    assert fused[2] == 1.0 / 12 + 1.0 / 11
+    # missing query in one leg: still fused from the other
+    c = rrf_fuse([{"q2": [5]}, {}], k=10)
+    assert c["q2"] == {5: 1.0 / 11}
