@@ -350,7 +350,10 @@ def stage_tower(spec, workdir, cfg):
     draws_dev = jnp.asarray(draws_pad.reshape(nch, CH, -1))
 
     @jax.jit
-    def probe_topk(params):
+    def probe_topk(params, draws_dev, dev_ids):
+        # draws_dev passed as an ARGUMENT: a closed-over 16 MB device
+        # array would serialize into the program body on the tunneled
+        # deployment (HTTP 413, CLAUDE.md)
         q = tower.apply({"params": params}, dev_ids,
                         jnp.ones_like(dev_ids),
                         method=T5Model.first_token_rep)
@@ -373,7 +376,7 @@ def stage_tower(spec, workdir, cfg):
         return ids_
 
     def probe(params):
-        ids_ = np.asarray(probe_topk(params))
+        ids_ = np.asarray(probe_topk(params, draws_dev, dev_ids))
         ids_ = np.where(ids_ < spec.ndoc, ids_, -1)
         found = ids_ == dev_docs[:, None]
         pos = np.argmax(found, 1)
