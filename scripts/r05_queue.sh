@@ -73,17 +73,18 @@ for attempt in 1 2 3 4 5 6 7 8; do
     QF_OUT=/root/repo/QUALITY_r05.json \
     python scripts/quality_full.py || continue
 
+  # quick chip stages first so short windows still land artifacts
+  run_stage beamtrace 3000 python scripts/beam_trace.py || continue
+
   run_stage bench 5400 env BENCH_CKPT=$W \
     bash -c 'python bench.py > /root/repo/BENCH_verify_r05.json' \
     || continue
 
-  run_stage scaling 12000 env BENCH_CKPT=$W SC_CAPS=1024,2048 \
-    python scripts/scaling_curve.py || continue
-
-  run_stage beamtrace 3000 python scripts/beam_trace.py || continue
-
   run_stage nqadc 4200 env NQ_STAGE=adc \
     python scripts/nq_scale_demo.py || continue
+
+  run_stage scaling 12000 env BENCH_CKPT=$W SC_CAPS=1024,2048 \
+    python scripts/scaling_curve.py || continue
 
   # CPU-only: DP-infer parity of the fresh bundle on the virtual mesh
   run_stage sharded_r05 7200 env QF_STAGE=sharded QF_SHARD_B=16 \
