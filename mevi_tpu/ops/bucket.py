@@ -70,7 +70,7 @@ def bucket_scores(semb: jnp.ndarray, starts: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((ROWS, d), lambda g, s: (g, 0),
                          memory_space=pltpu.VMEM),      # qemb rows
-            pl.BlockSpec(memory_space=pltpu.ANY),       # semb (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),       # semb (HBM)
         ],
         out_specs=pl.BlockSpec((ROWS, cap), lambda g, s: (g, 0),
                                memory_space=pltpu.VMEM),
@@ -177,8 +177,8 @@ def bucket_scores_fused(semb: jnp.ndarray, offsets2d: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((ROWS, d), lambda g, s: (g, 0),
                          memory_space=pltpu.VMEM),      # qemb rows
-            pl.BlockSpec(memory_space=pltpu.ANY),       # offsets2d
-            pl.BlockSpec(memory_space=pltpu.ANY),       # semb
+            pl.BlockSpec(memory_space=pl.ANY),       # offsets2d
+            pl.BlockSpec(memory_space=pl.ANY),       # semb
         ],
         out_specs=[
             pl.BlockSpec((ROWS, cap), lambda g, s: (g, 0),
@@ -271,7 +271,7 @@ def bucket_scores_v2(semb: jnp.ndarray, starts: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((ROWS, d), lambda g, s, e: (g, 0),
                          memory_space=pltpu.VMEM),      # qemb rows
-            pl.BlockSpec(memory_space=pltpu.ANY),       # semb (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),       # semb (HBM)
         ],
         out_specs=[
             pl.BlockSpec((ROWS, cap), lambda g, s, e: (g, 0),
@@ -350,7 +350,7 @@ def bucket_scores_v3(semb: jnp.ndarray, starts: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((ROWS, d), lambda g, s, e: (g, 0),
                          memory_space=pltpu.VMEM),      # qemb rows
-            pl.BlockSpec(memory_space=pltpu.ANY),       # semb (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),       # semb (HBM)
         ],
         out_specs=[
             pl.BlockSpec((ROWS, cap), lambda g, s, e: (g, 0),
