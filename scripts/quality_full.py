@@ -393,6 +393,17 @@ def stage_tower(spec, workdir, cfg):
     probe_every = env_int("QF_TOWER_PROBE", 2000 if not tiny else 16)
     best = (-1.0, -1.0)
     best_step = None
+    meta_p = osp.join(workdir, "tower_meta.json")
+    if os.environ.get("QF_TOWER_RESUME") and osp.exists(meta_p):
+        # don't let a resumed run's first (often worse) probe overwrite
+        # a better already-shipped tower_params.npz
+        try:
+            with open(meta_p) as fr:
+                m = json.load(fr)
+            best = (m.get("recall@100", -1.0), m.get("mrr@10", -1.0))
+            best_step = m.get("best_step")
+        except Exception:
+            pass
     probe_log = open(osp.join(workdir, "tower_probe.jsonl"), "a")
 
     def run_probe(it):
@@ -409,6 +420,17 @@ def stage_tower(spec, workdir, cfg):
             best_step = it
             save_params_npz(osp.join(workdir, "tower_params.best.npz"),
                             params)
+            # ship immediately: a tower killed mid-run (tunnel outage,
+            # stage timeout) must still leave a COMPLETE servable
+            # bundle — bench._bundle_complete requires tower_params.npz
+            save_params_npz(osp.join(workdir, "tower_params.npz"),
+                            params)
+            with open(osp.join(workdir, "tower_meta.json"), "w") as fw:
+                json.dump({"monitor": "dev_exact_mips_recall@100",
+                           "best_step": best_step,
+                           "recall@100": best[0], "mrr@10": best[1],
+                           "steps": steps, "hard_negatives": HN,
+                           "align_w": align_w, "partial": True}, fw)
 
     for it in range(start, steps, K):
         docs = host.integers(0, spec.ndoc, (K, B))
@@ -447,7 +469,7 @@ def stage_tower(spec, workdir, cfg):
                        "best_step": best_step,
                        "recall@100": best[0], "mrr@10": best[1],
                        "steps": steps, "hard_negatives": HN,
-                       "align_w": align_w}, fw)
+                       "align_w": align_w, "partial": False}, fw)
     else:
         save_params_npz(osp.join(workdir, "tower_params.npz"), params)
 
