@@ -647,10 +647,19 @@ def stage_eval(spec, workdir, cfg, out_path):
     from mevi_tpu.eval.searcher import fine_rerank
     q_orc = oracle_tower_embeddings(
         spec, tab, observed_info(spec, dev_tok[:n_ceil]))
-    _, orc_ids, _ = fine_rerank(
-        jnp.asarray(q_orc).astype(dt), jnp.asarray(beam_codes[:n_ceil]),
-        fine.offsets, fine.doc_ids, fine.sorted_emb, spec.kary, CAP, 100)
-    orc_found = np.asarray(orc_ids) == dev_docs[:n_ceil, None]
+    # chunk like the serve loop: one jit call over all 1024 queries
+    # needs ~22.5 GiB of HLO temps (1024 x 10*CAP candidate gathers)
+    # and OOMs the 15.75 GiB chip
+    orc_chunks = []
+    for s in range(0, n_ceil, B):
+        _, oc_ids, _ = fine_rerank(
+            jnp.asarray(q_orc[s:s + B]).astype(dt),
+            jnp.asarray(beam_codes[s:s + B]),
+            fine.offsets, fine.doc_ids, fine.sorted_emb, spec.kary,
+            CAP, 100)
+        orc_chunks.append(np.asarray(oc_ids))
+    orc_ids = np.concatenate(orc_chunks)
+    orc_found = orc_ids == dev_docs[:n_ceil, None]
     orc_pos = np.argmax(orc_found, 1)
     orc_hit = orc_found.any(1)
     oracle_fine = {
