@@ -363,12 +363,16 @@ def stage_adc(out):
         if pad else draws
     draws_dev = jnp.asarray(draws_p.reshape(nch, CH, 4))
 
+    # draws/tables must be ARGUMENTS: a closure bakes the 21M x 4 draw
+    # buffer (336 MB) into the serialized module as a constant and the
+    # tunnel's remote-compile endpoint rejects it (HTTP 413) — same
+    # failure mode as the tower probe (quality_full.py) before 24eba66
     @jax.jit
-    def exact_topk(qd):
+    def exact_topk(qd, tabs, draws_sc):
         def body(carry, xs):
             bs, bi = carry
             drc, base = xs
-            s = qd @ synth.gen_rows(tables_dev, drc).T
+            s = qd @ synth.gen_rows(tabs, drc).T
             idx = base + jnp.arange(CH, dtype=jnp.int32)
             cs = jnp.concatenate([bs, s.astype(jnp.float32)], 1)
             ci = jnp.concatenate(
@@ -378,10 +382,10 @@ def stage_adc(out):
         init = (jnp.full((NQ, 100), -jnp.inf, jnp.float32),
                 jnp.full((NQ, 100), -1, jnp.int32))
         bases = jnp.arange(nch, dtype=jnp.int32) * CH
-        (_, ids_), _ = jax.lax.scan(body, init, (draws_dev, bases))
+        (_, ids_), _ = jax.lax.scan(body, init, (draws_sc, bases))
         return ids_
     t0 = time.time()
-    ids_exact = np.asarray(exact_topk(q_dev))
+    ids_exact = np.asarray(exact_topk(q_dev, tables_dev, draws_dev))
     ids_exact = np.where(ids_exact < NDOC, ids_exact, -1)
     out["adc_exact_oracle_s"] = round(time.time() - t0, 1)
 
@@ -404,14 +408,17 @@ def stage_adc(out):
     # or, for this generative corpus, re-synthesized on device)
     cand_draws = jnp.asarray(draws[np.clip(i_adc, 0, NDOC - 1)])
     @jax.jit
-    def rerank(qd, cd, ids_):
-        rows = synth.gen_rows(tables_dev,
+    def rerank(qd, tabs, cd, ids_):
+        # tables as an argument, not a closure: the 100 MB pool table
+        # would otherwise be serialized into the module (HTTP 413)
+        rows = synth.gen_rows(tabs,
                               cd.reshape(-1, 4)).reshape(NQ, TOPK, D)
         s = jnp.einsum("qd,qkd->qk", qd, rows)
         s = jnp.where(ids_ >= 0, s, -jnp.inf)
         _, ti = jax.lax.top_k(s, 100)
         return jnp.take_along_axis(ids_, ti, 1)
-    ids_rr = np.asarray(rerank(q_dev, cand_draws, jnp.asarray(i_adc)))
+    ids_rr = np.asarray(rerank(q_dev, tables_dev, cand_draws,
+                               jnp.asarray(i_adc)))
     rr100 = np.mean([len(set(ids_rr[i].tolist())
                          & set(ids_exact[i].tolist())) / 100.0
                      for i in range(NQ)])
