@@ -298,6 +298,7 @@ def stage_adc(out):
     D = int(os.environ.get("NQ_D", 768 if on_tpu else 64))
     LV = int(os.environ.get("NQ_ADC_LEVELS", 8))
     KARY = int(os.environ.get("NQ_ADC_KARY", 32))
+    TAG = os.environ.get("NQ_ADC_TAG", "")   # "16" -> adc16_* keys
     TOPK = 1000
     spec = synth.SynthSpec(ndoc=NDOC, d=D, kary=32, levels=4, seed=9)
     log(f"adc stage: {NDOC} x {D}, RQ {LV}x{KARY} "
@@ -443,6 +444,13 @@ def stage_adc(out):
         f"recall@100 vs exact {r100:.4f} "
         f"(exact100 in top1000: {r100_in_1000:.4f})")
 
+    if TAG:
+        # variant capture (e.g. NQ_ADC_TAG=16 for the 16x32 index):
+        # rename adc_* -> adc<TAG>_* so the merged artifact keeps both
+        # the default 8x32 leg and this one side by side
+        for k in list(out):
+            out[f"adc{TAG}_{k[len('adc_'):]}"] = out.pop(k)
+
 
 def main():
     """Each stage writes its keys to its OWN sidecar file
@@ -478,7 +486,7 @@ def main():
     if stage in ("all", "stream"):
         run("stream", stage_stream)
     if stage in ("all", "adc"):
-        run("adc", stage_adc)
+        run("adc" + os.environ.get("NQ_ADC_TAG", ""), stage_adc)
 
     out = {"metric": "nq_scale_demo", "ndoc_true": NQ_NDOC_TRUE}
     for p in sorted(glob.glob(osp.join(side_dir, "*.json"))):
