@@ -540,7 +540,7 @@ def stage_eval(spec, workdir, cfg, out_path):
     n_use = (n_dev // B) * B
     gt_codes = codes[dev_docs]
 
-    all_codes, all_ids, all_ndoc, all_fs = [], [], [], []
+    all_codes, all_ids, all_ndoc, all_fs, all_bs = [], [], [], [], []
     t0 = time.time()
     handles = []
     for s in range(0, n_use, B):
@@ -550,6 +550,7 @@ def stage_eval(spec, workdir, cfg, out_path):
         scores, ids_, codes_, bscores, ndoc = server.finalize(h)
         all_codes.append(codes_); all_ids.append(ids_)
         all_ndoc.append(ndoc); all_fs.append(scores)
+        all_bs.append(bscores)
     dt_serve = time.time() - t0
     beam_codes = np.concatenate(all_codes)      # (n, nb, M)
     fine_ids = np.concatenate(all_ids)          # (n, pool)
@@ -571,6 +572,41 @@ def stage_eval(spec, workdir, cfg, out_path):
     rec = {k: float(((pos < k) & found).mean()) for k in (1, 10, 100)}
     mrr10 = float(np.where(found & (pos < 10), 1.0 / (pos + 1), 0.0)
                   .mean())
+
+    # beam-major reordering of the SAME served pool: rank buckets by
+    # their beam rank, docs within a bucket by tower score.  The Bayes
+    # diagnostic shows the code posterior nearly identifies the doc
+    # (median candidate set = 1), so the NCI beam's bucket ordering is
+    # the strong early-precision signal and the tower should only break
+    # ties WITHIN a bucket — the global tower re-rank throws that
+    # ordering away (r04/r05 MRR@10 ~ 0.05 vs coarse hit@1 ~ 0.24).
+    fs_full = np.concatenate(all_fs).astype(np.float32)   # (n, pool)
+    bs_full = np.concatenate(all_bs).astype(np.float32)   # (n, nb)
+    cand_codes = codes[np.clip(fine_ids, 0, None)]        # (n, pool, M)
+    match = (cand_codes[:, :, None, :]
+             == beam_codes[:n_use, None, :, :]).all(-1)   # (n, pool, nb)
+    crank = np.where(match.any(-1), match.argmax(-1), NBEAM)
+    crank = np.where(fine_ids >= 0, crank, NBEAM + 1)
+    fsf = np.where(fine_ids >= 0, fs_full, 0.0)
+    span = float(fsf.max() - fsf.min()) + 1.0
+    bm_order = np.argsort(crank.astype(np.float64) * span - fsf,
+                          axis=1, kind="stable")
+    ids_bm = np.take_along_axis(fine_ids, bm_order, 1)
+    bm_found = ids_bm == dev_docs[:n_use, None]
+    bm_pos = np.argmax(bm_found, 1)
+    bm_hit = bm_found.any(1)
+    bm_rec = {k: float(((bm_pos < k) & bm_hit).mean())
+              for k in (1, 10, 100)}
+    bm_mrr10 = float(np.where(bm_hit & (bm_pos < 10),
+                              1.0 / (bm_pos + 1), 0.0).mean())
+
+    # persist the served arrays: every downstream re-ranking /fusion
+    # experiment becomes an offline numpy job instead of a chip serve
+    np.savez_compressed(
+        osp.join(workdir, "served_eval.npz"),
+        fine_ids=fine_ids, fine_scores=fs_full,
+        beam_codes=beam_codes[:n_use], beam_scores=bs_full,
+        ndoc=ndoc, dev_docs=dev_docs[:n_use])
 
     # tower-embedding exact-MIPS list (the 'ANN path' — replaces faiss
     # HNSW, faiss_search.py:13-21) for the ceiling AND the ensemble
@@ -617,16 +653,22 @@ def stage_eval(spec, workdir, cfg, out_path):
     # grid over the fusion weights on dev, like the reference's
     # ensemble runs (ensemble_marco.py:249-260 loops alpha/beta/gamma);
     # report the default point AND the dev-best point with its weights
+    # large-alpha/beta=1 points make the fused ordering lexicographic
+    # (cluster rank major, score as tiebreak) — the beam-major ordering
+    # expressed inside the reference's own fusion formula
     ens = run_ensemble(gts, ance_preds, ance_scores, coarse_clusters,
                        mapping, fine_preds, fine_scores_m,
-                       alphas=(0.3, 0.6, 0.9, 1.5),
-                       betas=(0.0, 0.01, 0.03, 0.1),
+                       alphas=(0.3, 0.6, 0.9, 1.5, 3.0, 10.0, 50.0),
+                       betas=(0.0, 0.01, 0.03, 0.1, 1.0),
                        gammas=(0.0, 0.02, 0.05, 0.1),
                        recall_ks=(10, 100))
     ens_m = ens[(0.6, 0.03, 0.02)]
     best_w = max(ens, key=lambda w: (ens[w]["recall"][100],
                                      ens[w]["mrr"][10]))
     ens_b = ens[best_w]
+    best_wm = max(ens, key=lambda w: (ens[w]["mrr"][10],
+                                      ens[w]["recall"][100]))
+    ens_bm = ens[best_wm]
     # reciprocal-rank fusion (beyond-parity rank-space alternative)
     from mevi_tpu.eval.ensemble import rrf_fuse
     from mevi_tpu.eval.metrics import evaluate_scores
@@ -705,6 +747,13 @@ def stage_eval(spec, workdir, cfg, out_path):
         "ensemble_best_recall@10": round(ens_b["recall"][10], 4),
         "ensemble_best_recall@100": round(ens_b["recall"][100], 4),
         "ensemble_best_mrr@10": round(ens_b["mrr"][10], 4),
+        "ensemble_mrr_best_weights": list(best_wm),
+        "ensemble_mrr_best_recall@100": round(ens_bm["recall"][100], 4),
+        "ensemble_mrr_best_mrr@10": round(ens_bm["mrr"][10], 4),
+        "beam_major_fine_recall@1": round(bm_rec[1], 4),
+        "beam_major_fine_recall@10": round(bm_rec[10], 4),
+        "beam_major_fine_recall@100": round(bm_rec[100], 4),
+        "beam_major_fine_mrr@10": round(bm_mrr10, 4),
         "ann_recall@100": round(ceil100, 4),
         "ann_mrr@10": round(ann_mrr10, 4),
         "overlap_ann_fine@100": round(overlap100, 4),
