@@ -335,7 +335,10 @@ def stage_adc(out):
 
     t0 = time.time()
     onehot = adc_ops.fill_onehot_matrix(codes, KARY)
-    np.asarray(jax.device_get(onehot.ravel()[:1]))
+    # sync via a direct 2-D slice: .ravel()[:1] dispatches
+    # slice(reshape(x)) and XLA materializes the full reshape — a
+    # second index-sized copy that OOMs at 16 levels (10.24 GiB x 2)
+    np.asarray(jax.device_get(onehot[0, :1]))
     dt_fill = time.time() - t0
     out["adc_rows"] = int(NDOC)
     out["adc_levels"] = LV
