@@ -423,6 +423,27 @@ def run(NDOC, extras):
         hit_ = found.any(1)
         extras["trained_fine_mrr@10"] = round(float(np.where(
             hit_ & (pos_ < 10), 1.0 / (pos_ + 1), 0.0).mean()), 4)
+        # beam-major reordering of the SAME served pool (bucket beam
+        # rank major, tower score tiebreak — eval.searcher.merge_pool):
+        # the NCI beam's bucket ordering carries the early-precision
+        # signal a weak tower's global re-rank throws away
+        cand_codes = codes[np.clip(ids_, 0, None)]
+        match_ = (cand_codes[:, :, None, :]
+                  == codes_[:, None, :, :]).all(-1)
+        crank_ = np.where(match_.any(-1), match_.argmax(-1), NBEAM)
+        crank_ = np.where(ids_ >= 0, crank_, NBEAM + 1)
+        fsf_ = np.where(ids_ >= 0, scores_.astype(np.float64), 0.0)
+        span_ = float(fsf_.max() - fsf_.min()) + 1.0
+        bm_ord = np.argsort(crank_.astype(np.float64) * span_ - fsf_,
+                            axis=1, kind="stable")
+        ids_bm = np.take_along_axis(ids_, bm_ord, 1)
+        fbm = ids_bm == gt_docs[:, None]
+        pos_bm = np.argmax(fbm, 1)
+        hit_bm = fbm.any(1)
+        extras["trained_fine_recall@100_beam_major"] = round(
+            float((hit_bm & (pos_bm < 100)).mean()), 4)
+        extras["trained_fine_mrr@10_beam_major"] = round(float(np.where(
+            hit_bm & (pos_bm < 10), 1.0 / (pos_bm + 1), 0.0).mean()), 4)
         extras["trained_ndoc_per_query"] = round(float(ndoc_.mean()), 1)
         log(f"trained pipeline: coarse hit@10 "
             f"{extras['trained_coarse_hit@10']} fine recall@100 "

@@ -109,23 +109,64 @@ def _beam_scores(query_emb, beam_codes, offsets, doc_ids, sorted_emb,
     return (scores.reshape(B, nb * cap), ids.reshape(B, nb * cap), sizes)
 
 
-@partial(jax.jit, static_argnames=("kary", "cap", "pool"))
+def merge_pool(scores: jnp.ndarray, ids: jnp.ndarray, nb: int, cap: int,
+               pool: int, rank: str = "score",
+               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Merge per-(beam, slot) candidate scores into a top-``pool`` list.
+
+    ``scores``/``ids``: (B, nb*cap), invalid slots at ``NEG_INF``/-1.
+
+    ``rank="score"``: global top-k by score (the reference's fine
+    ordering, ``main_models.py:3990-4020``).  ``rank="beam_major"``:
+    lexicographic (beam rank, then score) — buckets keep the NCI beam's
+    ordering and the tower only breaks ties *within* a bucket.  On data
+    where the code posterior nearly identifies the document (synthetic
+    dev: median Bayes candidate set = 1), the beam ordering carries far
+    more early-precision signal than a weak tower, and a global score
+    re-rank destroys it.  Exact lexicographic merge with no assumption
+    on score magnitudes: per-beam top_k (descending, invalids last),
+    then ONE stable integer argsort on the beam index (invalid slots
+    keyed past every beam) — no score-offset hacks.
+    """
+    B = scores.shape[0]
+    k = min(pool, scores.shape[-1])
+    if rank == "beam_major":
+        s3 = scores.reshape(B, nb, cap)
+        i3 = ids.reshape(B, nb, cap)
+        s_s, p = jax.lax.top_k(s3, cap)                # per-beam desc
+        i_s = jnp.take_along_axis(i3, p, axis=-1)
+        beam_idx = jnp.arange(nb, dtype=jnp.int32)[None, :, None]
+        key = jnp.where(s_s > NEG_INF / 2, beam_idx, nb)
+        key = jnp.broadcast_to(key, s_s.shape).reshape(B, -1)
+        order = jnp.argsort(key, axis=-1, stable=True)
+        top_scores = jnp.take_along_axis(
+            s_s.reshape(B, -1), order, axis=-1)[:, :k]
+        top_ids = jnp.take_along_axis(
+            i_s.reshape(B, -1), order, axis=-1)[:, :k]
+    else:
+        top_scores, posn = jax.lax.top_k(scores, k)
+        top_ids = jnp.take_along_axis(ids, posn, axis=-1)
+    top_ids = jnp.where(top_scores <= NEG_INF / 2, -1, top_ids)
+    return top_scores, top_ids
+
+
+@partial(jax.jit, static_argnames=("kary", "cap", "pool", "rank"))
 def fine_rerank(query_emb: jnp.ndarray, beam_codes: jnp.ndarray,
                 offsets: jnp.ndarray, doc_ids: jnp.ndarray,
                 sorted_emb: jnp.ndarray, kary: int, cap: int, pool: int,
+                rank: str = "score",
                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """In-cluster MIPS re-rank of the coarse beam's clusters.
 
     Returns (top scores (B, pool), top original doc ids (B, pool),
     ndoc (B,) — total member count across the query's clusters, the
     reference's ndoc@cluster metric, ``main_models.py:3936-3937``).
+    ``rank``: see ``merge_pool``.
     """
     scores, ids, sizes = _beam_scores(
         query_emb, beam_codes, offsets, doc_ids, sorted_emb, kary, cap)
-    k = min(pool, scores.shape[-1])
-    top_scores, posn = jax.lax.top_k(scores, k)
-    top_ids = jnp.take_along_axis(ids, posn, axis=-1)
-    top_ids = jnp.where(top_scores <= NEG_INF / 2, -1, top_ids)
+    nb = beam_codes.shape[1]
+    top_scores, top_ids = merge_pool(scores, ids, nb, cap, pool, rank)
     return top_scores, top_ids, jnp.sum(sizes, axis=-1)
 
 

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from .decode.beam import nci_beam_search_incremental
-from .eval.searcher import FineIndex, _beam_scores
+from .eval.searcher import FineIndex, _beam_scores, merge_pool
 from .models.nci import NCIT5
 from .models.t5 import T5Model
 from .ops.topk import NEG_INF
@@ -34,7 +34,7 @@ from .parallel.mesh import CORPUS_AXIS, DATA_AXIS
 
 
 @partial(jax.jit, static_argnames=("qtower", "nci", "num_beams", "cap",
-                                   "pool", "length_penalty"))
+                                   "pool", "length_penalty", "rank"))
 def serve_batch(
     qtower: T5Model,
     nci: NCIT5,
@@ -49,9 +49,11 @@ def serve_batch(
     cap: int = 512,
     pool: int = 1000,
     length_penalty: float = 0.8,
+    rank: str = "score",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (doc scores (b, pool), doc ids (b, pool),
-    beam codes (b, nb, M), beam scores (b, nb))."""
+    beam codes (b, nb, M), beam scores (b, nb)).
+    ``rank``: see ``merge_pool`` (score | beam_major)."""
     kary = nci.dims.kary
     qemb = qtower.apply({"params": q_params}, query_ids, query_mask,
                         method=T5Model.first_token_rep)
@@ -63,10 +65,8 @@ def serve_batch(
     scores, ids, sizes = _beam_scores(
         qemb.astype(q_dt), codes, offsets, doc_ids,
         sorted_emb, kary, cap)
-    k = min(pool, scores.shape[-1])
-    top_scores, pos = jax.lax.top_k(scores, k)
-    top_ids = jnp.take_along_axis(ids, pos, axis=-1)
-    top_ids = jnp.where(top_scores <= NEG_INF / 2, -1, top_ids)
+    top_scores, top_ids = merge_pool(scores, ids, num_beams, cap, pool,
+                                     rank)
     return top_scores, top_ids, codes, beam_scores
 
 
@@ -82,10 +82,13 @@ class PallasServer:
     def __init__(self, qtower, nci, q_params, nci_params,
                  index: FineIndex, num_beams: int = 10, cap: int = 512,
                  pool: int = 1000, length_penalty: float = 0.8,
-                 inv_scale: float = 1.0):
+                 inv_scale: float = 1.0, rank_mode: str = "score"):
         """``inv_scale``: dequantization factor for an int8 corpus
         (score = q/s_q . v_int8 where v_int8 = round(s_q * v)); folded
-        into the query rows so reported scores stay calibrated."""
+        into the query rows so reported scores stay calibrated.
+        ``rank_mode``: pool ordering — "score" (global tower top-k) or
+        "beam_major" (beam rank major, tower tiebreak; see
+        ``eval.searcher.merge_pool``)."""
         import numpy as np
         from .index.csr import pack_codes
         from .ops.bucket import (ROWS, bucket_scores_fused,
@@ -212,10 +215,7 @@ class PallasServer:
             g_real = nq * per_query
             sc = scores[:g_real].reshape(nq, -1)
             rw = rows[:g_real].reshape(nq, -1)
-            k = min(pool, sc.shape[-1])
-            ts, pp = jax.lax.top_k(sc, k)
-            tr = jnp.take_along_axis(rw, pp, axis=-1)
-            tr = jnp.where(ts <= -1e29, -1, tr)
+            ts, tr = merge_pool(sc, rw, per_query, cap, pool, rank_mode)
             packed = jnp.concatenate([
                 jax.lax.bitcast_convert_type(ts, jnp.int32),
                 tr,

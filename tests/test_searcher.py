@@ -62,6 +62,35 @@ def test_fine_rerank_matches_oracle(problem):
         assert (ids[q][k:] == -1).all()
 
 
+def test_fine_rerank_beam_major_matches_oracle(problem):
+    """rank='beam_major': buckets in beam order, docs within a bucket
+    by score — lexicographic (beam rank, score) merge."""
+    emb, doc_codes, queries, beam_codes, index = problem
+    scores, ids, ndoc = searcher.fine_rerank(
+        jnp.array(queries), jnp.array(beam_codes), index.offsets,
+        index.doc_ids, index.sorted_emb, index.kary, cap=64, pool=20,
+        rank="beam_major")
+    ids, scores = np.array(ids), np.array(scores)
+    from collections import defaultdict
+    cluster = defaultdict(list)
+    for i, c in enumerate(doc_codes):
+        cluster[tuple(c.tolist())].append(i)
+    for q in range(queries.shape[0]):
+        want_ids, want_sc = [], []
+        for b in beam_codes[q]:
+            members = cluster.get(tuple(b.tolist()), [])
+            sc = np.array([float(queries[q] @ emb[m]) for m in members])
+            order = np.argsort(-sc, kind="stable")
+            want_ids += [members[i] for i in order]
+            want_sc += [sc[i] for i in order]
+        k = min(20, len(want_ids))
+        np.testing.assert_allclose(scores[q][:k], want_sc[:k], rtol=1e-4)
+        # within a beam equal scores may reorder; compare id sets per
+        # score level is overkill here — random normals: exact match
+        assert ids[q][:k].tolist() == want_ids[:k]
+        assert (ids[q][k:] == -1).all()
+
+
 def test_fine_rerank_sharded_matches_single(problem, mesh8):
     emb, doc_codes, queries, beam_codes, index = problem
     s1, i1, n1 = searcher.fine_rerank(

@@ -90,6 +90,24 @@ def test_pallas_server_matches_fused(setup):
     assert (ndoc >= 0).all()
 
 
+def test_pallas_server_beam_major_matches_fused(setup):
+    """rank_mode='beam_major' pools identically in the fused one-jit
+    server and the Pallas three-dispatch server."""
+    nci, qtower, nci_params, q_params, ids, mask, fine = setup
+    s1, i1, c1, b1 = serve.serve_batch(
+        qtower, nci, q_params, nci_params, ids, mask,
+        fine.offsets, fine.doc_ids, fine.sorted_emb,
+        num_beams=3, cap=32, pool=20, rank="beam_major")
+    server = serve.PallasServer(qtower, nci, q_params, nci_params, fine,
+                                num_beams=3, cap=32, pool=20,
+                                rank_mode="beam_major")
+    s2, i2, c2, b2, ndoc = server.query(ids, mask)
+    assert (np.asarray(c1) == c2).all()
+    np.testing.assert_allclose(np.asarray(s1), s2, atol=1e-3)
+    valid = np.asarray(i1) >= 0
+    assert (np.asarray(i1) == i2)[valid].all()
+
+
 def test_pallas_server_coarse_stage_signature(setup):
     """bench.py's stage-split calls ``server._coarse`` directly with
     every positional member attribute; a signature drift there crashed
