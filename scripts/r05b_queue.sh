@@ -51,6 +51,31 @@ for attempt in 1 2 3 4 5 6; do
     bash -c 'python bench.py > /root/repo/BENCH_verify_r05.json' \
     || continue
 
+  # seed the top-size scaling sidecar from the fresh bench rung (same
+  # harness), then measure the mid sizes live
+  python - <<'EOF'
+import json, time
+src = "data/bench_stages/rung_8841823_int8.json"
+dst = "data/scaling_stages/size_8841823_int8.json"
+keep = ("ndoc", "trained_coarse_hit@1", "trained_coarse_hit@10",
+        "trained_fine_recall@100", "trained_fine_mrr@10",
+        "trained_fine_recall@100_beam_major",
+        "trained_fine_mrr@10_beam_major",
+        "trained_ndoc_per_query", "cluster_sizes", "value",
+        "corpus_dtype", "batch", "cap")
+obj = json.load(open(src))["result"]
+row = {k: obj[k] for k in keep if k in obj}
+row["secs"] = None
+row["seeded_from"] = "bench rung_8841823_int8 (same BENCH_CHILD harness)"
+open(dst, "w").write(json.dumps(row) + "\n")
+EOF
+
+  # mid sizes have no sidecars yet -> measured live; the top size is
+  # freshly seeded above -> skipped (cached)
+  run_stage scaling2 9000 env BENCH_CKPT=$W \
+    SC_SIZES=1000000,2210455,4420911,8841823 \
+    python scripts/scaling_curve.py || continue
+
   log "=== all stages done ==="
   touch /tmp/r05b_all_done
   break

@@ -23,6 +23,8 @@ import time
 REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
 KEEP = ("ndoc", "trained_coarse_hit@1", "trained_coarse_hit@10",
         "trained_fine_recall@100", "trained_fine_mrr@10",
+        "trained_fine_recall@100_beam_major",
+        "trained_fine_mrr@10_beam_major",
         "trained_ndoc_per_query", "cluster_sizes", "value",
         "corpus_dtype", "batch", "cap")
 
