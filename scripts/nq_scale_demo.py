@@ -333,20 +333,6 @@ def stage_adc(out):
     dt_assign = time.time() - t0
     log(f"assign {NDOC} rows: {dt_assign:.1f}s")
 
-    t0 = time.time()
-    onehot = adc_ops.fill_onehot_matrix(codes, KARY)
-    # sync via a direct 2-D slice: .ravel()[:1] dispatches
-    # slice(reshape(x)) and XLA materializes the full reshape — a
-    # second index-sized copy that OOMs at 16 levels (10.24 GiB x 2)
-    np.asarray(jax.device_get(onehot[0, :1]))
-    dt_fill = time.time() - t0
-    out["adc_rows"] = int(NDOC)
-    out["adc_levels"] = LV
-    out["adc_kary"] = KARY
-    out["adc_index_gib"] = round(onehot.nbytes / 2**30, 2)
-    out["adc_build_s"] = round(dt_assign + dt_fill, 1)
-    log(f"one-hot in HBM: {dt_fill:.1f}s ({out['adc_index_gib']} GiB)")
-
     # queries: perturbed docs (same construction as the stream stage)
     NQ = int(os.environ.get("NQ_ADC_NQ", 128))
     gt = np.random.default_rng(1).integers(0, NDOC, NQ)
@@ -392,6 +378,24 @@ def stage_adc(out):
     ids_exact = np.asarray(exact_topk(q_dev, tables_dev, draws_dev))
     ids_exact = np.where(ids_exact < NDOC, ids_exact, -1)
     out["adc_exact_oracle_s"] = round(time.time() - t0, 1)
+    del draws_dev       # free the scan buffer before the index lands
+
+    # index build AFTER the exact oracle: the 16-level one-hot
+    # (10.25 GiB) plus the oracle scan's gen_rows temps exceed the
+    # 15.75 GiB chip; sequencing keeps the peak to one of the two
+    t0 = time.time()
+    onehot = adc_ops.fill_onehot_matrix(codes, KARY)
+    # sync via a direct 2-D slice: .ravel()[:1] dispatches
+    # slice(reshape(x)) and XLA materializes the full reshape — a
+    # second index-sized copy that OOMs at 16 levels (10.24 GiB x 2)
+    np.asarray(jax.device_get(onehot[0, :1]))
+    dt_fill = time.time() - t0
+    out["adc_rows"] = int(NDOC)
+    out["adc_levels"] = LV
+    out["adc_kary"] = KARY
+    out["adc_index_gib"] = round(onehot.nbytes / 2**30, 2)
+    out["adc_build_s"] = round(dt_assign + dt_fill, 1)
+    log(f"one-hot in HBM: {dt_fill:.1f}s ({out['adc_index_gib']} GiB)")
 
     s_adc, i_adc = adc_ops.adc_search(q_dev, cbs, onehot, k=TOPK)
     i_adc = np.asarray(i_adc)

@@ -43,6 +43,9 @@ for attempt in 1 2 3 4 5 6; do
   log "=== attempt $attempt ==="
   wait_up
 
+  run_stage adc16 4200 env NQ_STAGE=adc NQ_ADC_TAG=16 \
+    NQ_ADC_LEVELS=16 python scripts/nq_scale_demo.py || continue
+
   run_stage eval2 4200 env QF_WORKDIR=$W QF_STAGE=eval \
     QF_OUT=/root/repo/QUALITY_r05.json \
     python scripts/quality_full.py || continue
