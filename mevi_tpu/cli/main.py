@@ -885,7 +885,8 @@ def cmd_eval(args):
         recall_level=args.recall_level,
         recall_num=tuple(int(x) for x in args.recall_num.split(",")),
         max_cluster_docs=args.max_cluster_docs,
-        eval_all_documents=bool(args.eval_all_documents))
+        eval_all_documents=bool(args.eval_all_documents),
+        rank_mode=args.rank_mode)
     ev = Evaluator(model, params, icfg, fine_index=fine,
                    query_rep_fn=rep_fn, doc_codes=codes,
                    host_stream=bool(args.host_stream))
@@ -1103,6 +1104,10 @@ def build_parser():
     sp.add_argument("--recall_level", default="both")
     sp.add_argument("--recall_num", default="1,5,10,20,50,100,1000")
     sp.add_argument("--max_cluster_docs", type=int, default=4096)
+    sp.add_argument("--rank_mode", default="score",
+                    choices=("score", "beam_major"),
+                    help="fine pool ordering: global tower top-k or "
+                         "beam-rank-major with tower tiebreak")
     sp.add_argument("--batch_size", type=int, default=16)
     sp.add_argument("--bf16", action="store_true")
     sp.add_argument("--corpus_int8", action="store_true",

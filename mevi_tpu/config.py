@@ -210,6 +210,9 @@ class InferConfig:
     eval_all_documents: bool = False # full-corpus scan instead of clusters
     overflow: str = "scan"           # cluster > cap: 'scan' (exact, the
                                      # reference never truncates) | 'truncate'
+    rank_mode: str = "score"         # fine pool ordering: 'score' (global
+                                     # tower top-k) | 'beam_major' (beam rank
+                                     # major, tower tiebreak — merge_pool)
     save_hard_neg: int = 0
 
     def beams(self) -> int:

@@ -100,7 +100,9 @@ class Evaluator:
             self._rerank = FineReranker(fine_index, cfg.max_cluster_docs,
                                         max(cfg.recall_num),
                                         overflow=getattr(cfg, "overflow",
-                                                         "scan"))
+                                                         "scan"),
+                                        rank=getattr(cfg, "rank_mode",
+                                                     "score"))
 
     def run_batch(self, queries: List[str], query_ids: np.ndarray,
                   query_mask: np.ndarray) -> EvalBatchResult:

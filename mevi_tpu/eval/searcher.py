@@ -265,10 +265,12 @@ class FineReranker:
     the capped behavior (serving-speed mode)."""
 
     def __init__(self, index: FineIndex, cap: int, pool: int,
-                 overflow: str = "scan"):
+                 overflow: str = "scan", rank: str = "score"):
         import numpy as np
         assert overflow in ("scan", "truncate"), overflow
+        assert rank in ("score", "beam_major"), rank
         self.overflow = overflow
+        self.rank = rank
         self.index = index
         self.cap, self.pool = cap, pool
         self.kary = index.kary
@@ -306,10 +308,7 @@ class FineReranker:
                 g_real = nq * per_query
                 sc = scores[:g_real].reshape(nq, -1)
                 rw = rows[:g_real].reshape(nq, -1)
-                k = min(pool, sc.shape[-1])
-                ts, pp = jax.lax.top_k(sc, k)
-                tr = jnp.take_along_axis(rw, pp, axis=-1)
-                return ts, jnp.where(ts <= -1e29, -1, tr)
+                return merge_pool(sc, rw, per_query, cap, pool, rank)
             self._pool = _pool
 
     def _scan_overflow(self, query_emb, scores, ids, over_mask):
@@ -350,7 +349,7 @@ class FineReranker:
                 jnp.asarray(query_emb).astype(self.q_dt),
                 jnp.asarray(beam_codes), self.index.offsets,
                 self.index.doc_ids, self.index.sorted_emb, self.kary,
-                self.cap, self.pool)
+                self.cap, self.pool, rank=self.rank)
             s, i, nd = np.asarray(s), np.asarray(i), np.asarray(nd)
             if over.any():
                 s, i = self._scan_overflow(query_emb, s, i, over)
